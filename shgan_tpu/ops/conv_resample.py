@@ -1,0 +1,167 @@
+"""2D convolution with fused up/downsampling for TPU.
+
+TPU-native equivalent of the reference's ``conv2d_resample``
+(`/root/reference/lib/model_zoo/stylegan_utils/conv2d_resample.py:57-154`).
+The *contract* (padding algebra, flip conventions, fast-path ordering of
+filter vs. conv) is preserved exactly; the *implementation* maps every path
+onto a single ``lax.conv_general_dilated`` (correlation, MXU) plus at most
+one depthwise FIR pass from :mod:`.upfirdn2d` — no torch-style
+conv_transpose emulation is needed because XLA expresses transposed
+convolution directly via ``lhs_dilation``.
+
+Notably, the reference's up>1 path (`conv2d_resample.py:122-142`) performs:
+per-group OI transpose → optional spatial flip → ``conv_transpose2d``.
+Composing the channel swaps and spatial flips of torch's conv_transpose
+lowering, the net operation is simply::
+
+    lax.conv_general_dilated(x, w', lhs_dilation=(up, up),
+                             padding=((kh-1-pyt, kh-1-pyt), (kw-1-pxt, kw-1-pxt)))
+
+with ``w' = w`` spatially flipped iff ``flip_weight`` is False — i.e. the
+same flip rule as every other path.  (The reference flips the weight for
+TF-checkpoint compatibility at `conv2d_resample.py:136-138`; that behavior is
+captured by the ``not flip_weight`` passed from the caller.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .upfirdn2d import upfirdn2d, _parse_padding, _get_filter_size
+
+_DN = ("NCHW", "OIHW", "NCHW")
+
+
+def _maybe_flip(w, flip_weight):
+    """lax conv performs correlation (same as torch conv2d); flipping the
+    kernel spatially turns it into true convolution
+    (`conv2d_resample.py:32-34`)."""
+    if not flip_weight:
+        w = w[:, :, ::-1, ::-1]
+    return w
+
+
+def _conv2d(x, w, stride=1, padding=(0, 0), groups=1, flip_weight=True):
+    """Plain correlation, torch-conv2d-compatible. padding=(py, px)."""
+    w = _maybe_flip(w, flip_weight)
+    py, px = padding
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(py, py), (px, px)],
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+    )
+
+
+def _conv2d_up(x, w, up, padding, groups=1, flip_weight=True):
+    """Transposed-conv-equivalent upsampling conv via lhs_dilation.
+
+    Matches torch ``conv_transpose2d(x, w_t, stride=up, padding=(pyt, pxt))``
+    where ``w_t`` is the per-group OI-transposed kernel, as invoked by the
+    reference up path (`conv2d_resample.py:122-136`) — see module docstring
+    for the derivation.  padding=(pyt, pxt) are the torch-side pads.
+    """
+    w = _maybe_flip(w, flip_weight)
+    kh, kw = w.shape[2], w.shape[3]
+    pyt, pxt = padding
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(kh - 1 - pyt, kh - 1 - pyt), (kw - 1 - pxt, kw - 1 - pxt)],
+        lhs_dilation=(up, up),
+        dimension_numbers=_DN,
+        feature_group_count=groups,
+    )
+
+
+def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
+                    flip_weight=True, flip_filter=False):
+    """2D convolution with optional up/downsampling (padding applied once,
+    w.r.t. the upsampled image) — contract of `conv2d_resample.py:57-80`.
+
+    Args:
+        x: ``[N, C_in, H, W]``.
+        w: ``[C_out, C_in // groups, kh, kw]``.
+        f: FIR filter constant from ``setup_filter`` (None = identity).
+        up, down: integer resampling factors.
+        padding: signed padding w.r.t. the upsampled image.
+        groups: feature groups.
+        flip_weight: False = convolution, True = correlation.
+        flip_filter: same, for the FIR filter.
+    """
+    assert x.ndim == 4 and w.ndim == 4
+    assert isinstance(up, int) and up >= 1
+    assert isinstance(down, int) and down >= 1
+    out_channels, in_channels_per_group, kh, kw = (int(s) for s in w.shape)
+    fw, fh = _get_filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    # Adjust padding for the resampling FIR (conv2d_resample.py:93-102).
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    # Fast path: 1x1 conv + downsample → downsample first (cheaper conv).
+    if kw == 1 and kh == 1 and down > 1 and up == 1:
+        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1],
+                      flip_filter=flip_filter)
+        return _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+
+    # Fast path: 1x1 conv + upsample → convolve first.
+    if kw == 1 and kh == 1 and up > 1 and down == 1:
+        x = _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+        return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1],
+                         gain=up ** 2, flip_filter=flip_filter)
+
+    # Fast path: downsample via conv window strides.
+    if down > 1 and up == 1:
+        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1],
+                      flip_filter=flip_filter)
+        return _conv2d(x, w, stride=down, groups=groups,
+                       flip_weight=flip_weight)
+
+    # Upsample (optional extra downsample) via lhs-dilated conv.
+    if up > 1:
+        # Padding split between the dilated conv and the FIR pass
+        # (conv2d_resample.py:130-139).
+        px0 -= kw - 1
+        px1 -= kw - up
+        py0 -= kh - 1
+        py1 -= kh - up
+        pxt = max(min(-px0, -px1), 0)
+        pyt = max(min(-py0, -py1), 0)
+        # Reference passes flip_weight=(not flip_weight) into its
+        # conv_transpose wrapper; composed with torch conv_transpose's
+        # inherent spatial flip, the net lax kernel flip rule is again
+        # plain ``not flip_weight`` (see module docstring).
+        x = _conv2d_up(x, w, up=up, padding=(pyt, pxt), groups=groups,
+                       flip_weight=flip_weight)
+        x = upfirdn2d(x, f, padding=[px0 + pxt, px1 + pxt, py0 + pyt, py1 + pyt],
+                      gain=up ** 2, flip_filter=flip_filter)
+        if down > 1:
+            x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+        return x
+
+    # Plain conv with symmetric non-negative padding.
+    if up == 1 and down == 1:
+        if px0 == px1 and py0 == py1 and px0 >= 0 and py0 >= 0:
+            return _conv2d(x, w, padding=(py0, px0), groups=groups,
+                           flip_weight=flip_weight)
+
+    # Generic fallback: signed pad, then conv.
+    x = upfirdn2d(x, (f if up > 1 else None), up=up,
+                  padding=[px0, px1, py0, py1], gain=up ** 2,
+                  flip_filter=flip_filter)
+    x = _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+    if down > 1:
+        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+    return x

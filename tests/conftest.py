@@ -1,0 +1,55 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests
+run without TPU hardware, and expose the reference implementation (mounted
+read-only at /root/reference) as a numerical oracle."""
+
+import os
+
+# Must run before jax initializes a backend.  (JAX_PLATFORMS alone is not
+# honored when the axon TPU plugin is installed; JAX_PLATFORM_NAME +
+# jax.config both are.)
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref():
+    """Import the reference PyTorch implementation as a parity oracle.
+
+    The reference imports torchvision (unavailable); stub it — only the
+    model zoo is exercised, which never actually uses torchvision.
+    """
+    import sys
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import lib.model_zoo.stylegan as ref_stylegan  # noqa: F401
+    import lib.model_zoo.comodgan as ref_comodgan  # noqa: F401
+    import lib.model_zoo.shgan as ref_shgan  # noqa: F401
+    from lib.model_zoo.stylegan_utils import upfirdn2d as ref_upfirdn2d
+    from lib.model_zoo.stylegan_utils import conv2d_resample as ref_conv2d_resample
+
+    ns = types.SimpleNamespace(
+        stylegan=ref_stylegan,
+        comodgan=ref_comodgan,
+        shgan=ref_shgan,
+        upfirdn2d=ref_upfirdn2d,
+        conv2d_resample=ref_conv2d_resample,
+    )
+    return ns
