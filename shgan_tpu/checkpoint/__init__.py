@@ -1,0 +1,2 @@
+from .convert import torch_state_dict_to_params, params_to_flat_state_dict
+from .torch_reader import load_torch_pth

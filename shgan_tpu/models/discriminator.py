@@ -1,0 +1,171 @@
+"""StyleGAN2 / CoModGAN discriminator.
+
+Reference: ``discrim_block`` / ``discrim_epilogue`` / ``Discriminator`` at
+`/root/reference/lib/model_zoo/stylegan.py:624-838`.  The CoModGAN D is the
+same network with a 4-channel input (mask ‖ masked RGB)
+(`comodgan.py:483-485`, `configs/model/comodgan.yaml:51-58`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.minibatch_std import minibatch_std
+from .layers import Dense, Conv2dLayer
+from .mapping import Mapping
+
+
+class DiscrimBlock:
+    """fromrgb? → conv0 → conv1 (down 2), residual skip
+    (stylegan.py:624-684)."""
+
+    def __init__(self, ic_n, mc_n, oc_n, rgb_n=None,
+                 resample_filter=(1, 3, 3, 1),
+                 activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
+                 reslink=True, use_fp16=False):
+        self.reslink = reslink
+        self.dtype = jnp.bfloat16 if use_fp16 else jnp.float32
+        self.fromrgb = None
+        if rgb_n is not None:
+            self.fromrgb = Conv2dLayer(rgb_n, mc_n, 1, bias=True,
+                                       activation=activation,
+                                       resample_filter=None)
+        self.conv0 = Conv2dLayer(ic_n, mc_n, 3, bias=True,
+                                 activation=activation, resample_filter=None)
+        self.conv1 = Conv2dLayer(mc_n, oc_n, 3, bias=True,
+                                 activation=activation, down=2,
+                                 resample_filter=resample_filter)
+        self.skip = None
+        if reslink:
+            self.skip = Conv2dLayer(mc_n, oc_n, 1, bias=False, down=2,
+                                    resample_filter=resample_filter)
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        params = {"conv0": self.conv0.init(keys[0]),
+                  "conv1": self.conv1.init(keys[1])}
+        if self.fromrgb is not None:
+            params["fromrgb"] = self.fromrgb.init(keys[2])
+        if self.skip is not None:
+            params["skip"] = self.skip.init(keys[3])
+        return params
+
+    def __call__(self, params, x, img):
+        if x is not None:
+            x = x.astype(self.dtype)
+        if self.fromrgb is not None:
+            img = img.astype(self.dtype)
+            y = self.fromrgb(params["fromrgb"], img)
+            x = x + y if x is not None else y
+        if self.reslink:
+            y = self.skip(params["skip"], x, gain=np.sqrt(0.5))
+            x = self.conv0(params["conv0"], x)
+            x = self.conv1(params["conv1"], x, gain=np.sqrt(0.5))
+            x = y + x
+        else:
+            x = self.conv0(params["conv0"], x)
+            x = self.conv1(params["conv1"], x)
+        return x, None
+
+
+class DiscrimEpilogue:
+    """mbstd → conv → fc → out (stylegan.py:707-755)."""
+
+    def __init__(self, ic_n, resolution=4, cmap_dim=None, rgb_n=None,
+                 mbstd_group_size=4, mbstd_c_n=1,
+                 activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
+                 reslink=True):
+        self.ic_n = ic_n
+        self.cmap_dim = cmap_dim
+        self.resolution = resolution
+        self.mbstd_group_size = mbstd_group_size
+        self.mbstd_c_n = mbstd_c_n
+        self.fromrgb = None
+        if rgb_n is not None:
+            self.fromrgb = Conv2dLayer(rgb_n, ic_n, 1, bias=True,
+                                       activation=activation,
+                                       resample_filter=None)
+        self.conv = Conv2dLayer(ic_n + mbstd_c_n, ic_n, 3, bias=True,
+                                activation=activation, resample_filter=None)
+        self.fc = Dense(ic_n * resolution ** 2, ic_n, activation=activation)
+        self.out = Dense(ic_n, 1 if cmap_dim is None else cmap_dim)
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        params = {"conv": self.conv.init(keys[0]),
+                  "fc": self.fc.init(keys[1]),
+                  "out": self.out.init(keys[2])}
+        if self.fromrgb is not None:
+            params["fromrgb"] = self.fromrgb.init(keys[3])
+        return params
+
+    def __call__(self, params, x, img=None, cmap=None):
+        x = x.astype(jnp.float32)
+        if self.fromrgb is not None:
+            x = x + self.fromrgb(params["fromrgb"], img.astype(jnp.float32))
+        if self.mbstd_c_n > 0:
+            x = minibatch_std(x, self.mbstd_group_size, self.mbstd_c_n)
+        x = self.conv(params["conv"], x)
+        x = self.fc(params["fc"], x.reshape(x.shape[0], -1))
+        x = self.out(params["out"], x)
+        if self.cmap_dim is not None:
+            x = (x * cmap).sum(axis=1, keepdims=True) / np.sqrt(self.cmap_dim)
+        return x
+
+
+class Discriminator:
+    """Resolution pyramid + epilogue (stylegan.py:757-838)."""
+
+    def __init__(self, resolution=256, ic_n=3, ch_base=16384, ch_max=512,
+                 use_fp16_before_res=16, resample_filter=(1, 3, 3, 1),
+                 activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
+                 mbstd_group_size=4, mbstd_c_n=1, c_dim=None, cmap_dim=None):
+        log2res = int(np.log2(resolution))
+        if 2 ** log2res != resolution:
+            raise ValueError(resolution)
+        self.resolution = resolution
+        self.encode_res = [2 ** i for i in range(log2res, 1, -1)]
+        self.ic_n = ic_n
+
+        self.blocks = {}
+        for idx, (resi, resj) in enumerate(zip(self.encode_res[:-1],
+                                               self.encode_res[1:])):
+            ch_i = min(ch_base // resi, ch_max)
+            ch_j = min(ch_base // resj, ch_max)
+            use_fp16 = (use_fp16_before_res is not None
+                        and resi > use_fp16_before_res)
+            self.blocks[resi] = DiscrimBlock(
+                ch_i, ch_i, ch_j, rgb_n=ic_n if idx == 0 else None,
+                resample_filter=resample_filter, activation=activation,
+                reslink=True, use_fp16=use_fp16)
+
+        self.mapping = None
+        if c_dim is not None and c_dim > 0:
+            self.mapping = Mapping(z_dim=0, c_dim=c_dim, w_dim=cmap_dim,
+                                   num_ws=None, w_avg_beta=None)
+
+        hidden_ch = min(ch_base // self.encode_res[-1], ch_max)
+        self.b4 = DiscrimEpilogue(
+            hidden_ch, resolution=4, cmap_dim=None, activation=activation,
+            mbstd_group_size=mbstd_group_size, mbstd_c_n=mbstd_c_n)
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.encode_res) + 1)
+        params = {f"b{res}": self.blocks[res].init(k)
+                  for res, k in zip(self.encode_res[:-1], keys)}
+        params["b4"] = self.b4.init(keys[-2])
+        if self.mapping is not None:
+            params["mapping"] = self.mapping.init(keys[-1])
+        return params
+
+    def __call__(self, params, img, c=None):
+        x = None
+        for resi in self.encode_res[:-1]:
+            x, img_out = self.blocks[resi](params[f"b{resi}"], x, img)
+            img = img_out
+        cmap = None
+        if self.mapping is not None:
+            cmap = self.mapping(params["mapping"], None, c)
+        return self.b4(params["b4"], x, img, cmap)
