@@ -1,0 +1,100 @@
+"""Benchmark: 512×512 inpainted images/sec/chip (the BASELINE.json north-star
+metric) on the flagship full-size SH-GAN generator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` is null until a measured reference figure exists.
+
+Env knobs:
+  BENCH_DEVICE=cpu       force CPU (smoke mode, tiny batch)
+  BENCH_RES=256|512      resolution (default 512)
+  BENCH_SMALL=1          use ch_base-16384 variant
+  BENCH_BATCH=N          fixed batch size (default: auto sweep)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    if os.environ.get("BENCH_DEVICE") == "cpu":
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import jax.numpy as jnp
+    from shgan_tpu.runtime.config import model_cfg_bank
+    from shgan_tpu.models import get_model
+
+    res = int(os.environ.get("BENCH_RES", "512"))
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    on_cpu = jax.default_backend() == "cpu"
+    suffix = "_small" if small else ""
+    G = get_model(model_cfg_bank()(f"shgan_g{res}{suffix}"))
+    params = G.init(jax.random.key(0))
+
+    def forward(params, real, mask, z, key):
+        x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
+        img = G(params, x, z, noise_mode="random", rng=key)
+        combined = real * mask + img * (1 - mask)
+        return jnp.clip(combined * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
+
+    fwd = jax.jit(forward)
+
+    if os.environ.get("BENCH_BATCH"):
+        batches = [int(os.environ["BENCH_BATCH"])]
+    elif on_cpu:
+        batches = [2]
+    else:
+        batches = [64, 32, 16, 8]
+
+    rng = np.random.RandomState(0)
+    best = 0.0
+    best_bs = None
+    for bs in batches:
+        try:
+            real = jnp.asarray(rng.randn(bs, 3, res, res).astype(np.float32))
+            mask = jnp.asarray(
+                (rng.rand(bs, 1, res, res) > 0.5).astype(np.float32))
+            z = jnp.asarray(rng.randn(bs, G.z_dim).astype(np.float32))
+            key = jax.random.key(1)
+            # warmup / compile
+            fwd(params, real, mask, z, key).block_until_ready()
+            iters = 3 if on_cpu else 20
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = fwd(params, real, mask, z, jax.random.fold_in(key, i))
+            out.block_until_ready()
+            dt = time.perf_counter() - t0
+            ips = bs * iters / dt
+            print(f"# batch {bs}: {ips:.2f} img/s", file=sys.stderr)
+            if ips > best:
+                best, best_bs = ips, bs
+        except Exception as e:  # OOM at large batch → try smaller
+            print(f"# batch {bs} failed: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
+
+    n_chips = max(jax.device_count(), 1)
+    value = best / n_chips
+    print(json.dumps({
+        "metric": f"{res}x{res} inpainted images/sec/chip"
+                  + (" (cpu smoke)" if on_cpu else ""),
+        "value": round(value, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": None,
+        "detail": {"batch": best_bs, "backend": jax.default_backend(),
+                   "chips": n_chips, "small": small},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""CLI entry point — same command shape as the reference:
+
+    python main.py --experiment shgan_ffhq256_eval [--eval 99999] [--debug]
+                   [--gpu 0 1 ...] [--seed N] [--pretrained path.pth]
+
+Reference: `/root/reference/main.py:43-89` +
+`cfg_helper.py:292-398` (flag surface) — the mp.spawn-per-GPU launcher is
+replaced by single-controller JAX over the device mesh; ``--gpu`` is
+accepted for compatibility and only bounds the mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--experiment", type=str, required=True)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--eval", type=int, default=None,
+                   help="run eval only, tagging with this experiment id")
+    p.add_argument("--gpu", nargs="+", type=int, default=None,
+                   help="device indices (mesh size); default all")
+    p.add_argument("--port", type=int, default=None)  # compat, unused
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--signature", nargs="+", type=str, default=None)
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="override eval.pretrained_pth")
+    p.add_argument("--eval_tag", type=str, default=None)
+    p.add_argument("--dscache", type=str, default=None)  # compat
+    p.add_argument("--resume_path", type=str, default=None)
+    p.add_argument("--resume_itern", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from shgan_tpu.runtime.config import (experiment_cfg_bank,
+                                          apply_debug_shrink)
+    from shgan_tpu.runtime.logging import print_log, set_log_file
+    from shgan_tpu.runtime.stages import eval_stage, train_stage
+
+    cfg = experiment_cfg_bank()(args.experiment)
+
+    is_eval = args.eval is not None or cfg.get("train") is None
+    if is_eval:
+        cfg.pop("train", None)
+        if args.eval is not None:
+            cfg["eval"]["experiment_id"] = args.eval
+    if args.seed is not None:
+        cfg["env"]["rnd_seed"] = args.seed
+    if args.debug:
+        cfg = apply_debug_shrink(cfg)
+    if args.pretrained is not None:
+        cfg["eval"]["pretrained_pth"] = args.pretrained
+    if args.eval_tag is not None:
+        cfg["eval"]["eval_tag"] = args.eval_tag
+
+    # log dir layout: log/<model>_<dataset>/<expid>/<eval_tag|train>
+    # (cfg_helper.py:524-564)
+    section = "eval" if is_eval else "train"
+    expid = (cfg[section].get("experiment_id")
+             or int(time.time() * 100))
+    model_sym = cfg.get("model", {}).get("symbol", "model")
+    ds_name = cfg[section]["dataset"].get("name", "dataset")
+    tag = cfg[section].get("eval_tag", section) if is_eval else "train"
+    log_dir = osp.join(cfg["env"].get("log_root_dir", "log"),
+                       f"{model_sym}_{ds_name}", str(expid), tag)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg[section]["log_dir"] = log_dir
+    set_log_file(osp.join(log_dir, f"{section}.log"))
+
+    # dump the solved config for reproducibility (cfg_helper.py:566-571)
+    import yaml
+    with open(osp.join(log_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(_plain(cfg), f, sort_keys=False)
+
+    print_log(f"experiment: {args.experiment}  stage: {section}")
+    print_log(f"log_dir: {log_dir}")
+
+    stage = eval_stage() if is_eval else train_stage()
+    rv = stage(cfg)
+    print_log("done.")
+    return rv
+
+
+def _plain(obj):
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    return obj
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Datasets: index builders + image loaders (host-side).
+
+References:
+  * ``ffhqzip``: reads ``ffhq{256,512}x512.zip`` with split val=[0,10000),
+    train=[10000,70000) (`/root/reference/lib/data_factory/ds_ffhq.py:266-305`).
+  * ``places2``: directory walk over data_challenge / val_large etc.
+    (`/root/reference/lib/data_factory/ds_places2.py:18-77`) with bicubic
+    ``FixResolutionLoader`` (`ds_places2.py:91-103`).
+  * generic image-dir dataset (`ds_openimages.py` pattern).
+
+A dataset yields dict *elements* ({'image': float32 CHW in [0,1],
+'unique_id': str}); a formatter (see .formatters) turns an element into the
+(real, mask, uid) training tuple — the reference's loader→transform→
+formatter pipeline (`ds_base.py:158-178`) collapsed to two stages.
+
+A ``SyntheticDataset`` is provided for smoke tests/benches when no data root
+exists (the reference's --debug pathway shrinks data instead,
+`cfg_helper.py:262-290`).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import io
+import zipfile
+
+import numpy as np
+
+_DATASET_REGISTRY = {}
+
+
+def register_dataset(name):
+    def wrap(cls):
+        _DATASET_REGISTRY[name] = cls
+        return cls
+    return wrap
+
+
+_DATASET_CFG_KEYS = ("root_dir", "mode", "resolution", "try_sample",
+                     "length", "seed")
+
+
+def get_dataset(cfg):
+    """Build a dataset from a config dict.
+
+    Accepts the reference's dataset-bank layout (top-level ``root_dir`` /
+    ``mode`` keys, `configs/dataset/ffhq.yaml:68-76`) and/or an ``args``
+    dict; unknown orchestration keys (loader/transform/estimator/formatter)
+    are handled elsewhere and ignored here.
+    """
+    if isinstance(cfg, str):
+        return _DATASET_REGISTRY[cfg]()
+    typ = cfg["type"]
+    args = dict(cfg.get("args") or {})
+    for k in _DATASET_CFG_KEYS:
+        if cfg.get(k) is not None and k not in args:
+            args[k] = cfg[k]
+    return _DATASET_REGISTRY[typ](**args)
+
+
+def _decode_png(data):
+    try:
+        import pyspng
+        return pyspng.load(data)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def _to_chw01(img_hwc_uint8):
+    img = np.asarray(img_hwc_uint8)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, 2)
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    return img.transpose(2, 0, 1).astype(np.float32) / 255.0
+
+
+class _Base:
+    """len/getitem protocol: __getitem__ returns an element dict."""
+
+    load_info: list
+
+    def __len__(self):
+        return len(self.load_info)
+
+
+@register_dataset("ffhqzip")
+class FFHQZipDataset(_Base):
+    """FFHQ from zip archives; mode ∈ train256/val256/train512/val512
+    (ds_ffhq.py:266-305)."""
+
+    SPLITS = {
+        "train256": ("ffhq256x256.zip", (10000, 70000)),
+        "val256": ("ffhq256x256.zip", (0, 10000)),
+        "train512": ("ffhq512x512.zip", (10000, 70000)),
+        "val512": ("ffhq512x512.zip", (0, 10000)),
+        "train512ori": ("ffhq512x512.zip", (10000, 70000)),
+        "val512ori": ("ffhq512x512.zip", (0, 10000)),
+    }
+
+    def __init__(self, root_dir, mode="val256", try_sample=None):
+        zipname, split = self.SPLITS[mode]
+        self.zip_path = osp.join(root_dir, zipname)
+        self._zf = None
+        info = []
+        with zipfile.ZipFile(self.zip_path) as z:
+            for fi in z.namelist():
+                if ".png" not in fi:
+                    continue
+                uid = osp.splitext(osp.basename(fi))[0]
+                info.append({"unique_id": uid, "image_path": fi})
+        info = sorted(info, key=lambda x: x["unique_id"])
+        info = info[split[0]: split[1]]
+        if try_sample is not None:
+            info = info[:try_sample]
+        self.load_info = info
+
+    def _zip(self):
+        # one handle per worker process; re-opened lazily after fork
+        if self._zf is None or self._pid != os.getpid():
+            self._zf = zipfile.ZipFile(self.zip_path)
+            self._pid = os.getpid()
+        return self._zf
+
+    _pid = None
+
+    def __getitem__(self, i):
+        info = self.load_info[i]
+        data = self._zip().read(info["image_path"])
+        return {"image": _to_chw01(_decode_png(data)),
+                "unique_id": info["unique_id"]}
+
+
+@register_dataset("places2")
+class Places2Dataset(_Base):
+    """Places2 directory-walk dataset with bicubic resize to ``resolution``
+    (ds_places2.py:18-103)."""
+
+    MODES = {
+        "train": "data_challenge",
+        "train_large": "data_large",
+        "val": "val_large",
+        "val_large": "val_large",
+        "test": "test_large",
+    }
+
+    def __init__(self, root_dir, mode="val_large", resolution=256,
+                 try_sample=None):
+        subdir = self.MODES.get(mode, mode)
+        base = osp.join(root_dir, subdir)
+        info = []
+        for dirpath, _dirnames, filenames in sorted(os.walk(base)):
+            for fn in sorted(filenames):
+                if osp.splitext(fn)[1].lower() not in (".jpg", ".jpeg",
+                                                       ".png"):
+                    continue
+                path = osp.join(dirpath, fn)
+                uid = osp.splitext(osp.relpath(path, base))[0].replace(
+                    "/", "_")
+                info.append({"unique_id": uid, "image_path": path})
+        info = sorted(info, key=lambda x: x["unique_id"])
+        if try_sample is not None:
+            info = info[:try_sample]
+        self.load_info = info
+        self.resolution = resolution
+
+    def __getitem__(self, i):
+        from PIL import Image
+        info = self.load_info[i]
+        img = Image.open(info["image_path"]).convert("RGB")
+        if img.size != (self.resolution, self.resolution):
+            img = img.resize((self.resolution, self.resolution),
+                             Image.BICUBIC)
+        return {"image": _to_chw01(np.asarray(img)),
+                "unique_id": info["unique_id"]}
+
+
+@register_dataset("imagedir")
+class ImageDirDataset(_Base):
+    """Flat/recursive image directory (the reference's imagedir/openimages
+    pattern, ds_openimages.py:22-98)."""
+
+    def __init__(self, root_dir, resolution=None, try_sample=None):
+        info = []
+        for dirpath, _d, filenames in sorted(os.walk(root_dir)):
+            for fn in sorted(filenames):
+                if osp.splitext(fn)[1].lower() not in (".jpg", ".jpeg",
+                                                       ".png", ".webp"):
+                    continue
+                path = osp.join(dirpath, fn)
+                uid = osp.splitext(osp.relpath(path, root_dir))[0].replace(
+                    "/", "_")
+                info.append({"unique_id": uid, "image_path": path})
+        if try_sample is not None:
+            info = info[:try_sample]
+        self.load_info = info
+        self.resolution = resolution
+
+    def __getitem__(self, i):
+        from PIL import Image
+        info = self.load_info[i]
+        img = Image.open(info["image_path"]).convert("RGB")
+        if self.resolution and img.size != (self.resolution,
+                                            self.resolution):
+            img = img.resize((self.resolution, self.resolution),
+                             Image.BICUBIC)
+        return {"image": _to_chw01(np.asarray(img)),
+                "unique_id": info["unique_id"]}
+
+
+@register_dataset("synthetic")
+class SyntheticDataset(_Base):
+    """Deterministic procedural images for tests/benches (no data root)."""
+
+    def __init__(self, resolution=256, length=64, seed=0, try_sample=None):
+        self.resolution = resolution
+        self.seed = seed
+        if try_sample is not None:
+            length = min(length, try_sample)
+        self.load_info = [{"unique_id": f"syn{i:05d}"} for i in range(length)]
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        res = self.resolution
+        # smooth random gradients, cheap but non-trivial
+        y = np.linspace(0, 1, res, dtype=np.float32)
+        base = rng.rand(3, 1, 1).astype(np.float32)
+        img = (base + 0.5 * np.outer(y, y)[None]
+               + 0.1 * rng.randn(3, res, res).astype(np.float32))
+        img = np.clip(img, 0, 1)
+        return {"image": img, "unique_id": self.load_info[i]["unique_id"]}

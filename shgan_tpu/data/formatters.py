@@ -1,0 +1,107 @@
+"""Formatters: element dict → (real [-1,1] CHW, mask HW {0=hole,1=keep}, uid).
+
+This is the sample tuple contract used everywhere in the reference
+(`/root/reference/lib/data_factory/ds_ffhq.py:330-345`); the network input is
+later assembled as ``x = cat([mask-0.5, real*mask])``
+(`shgan_default.py:274`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .masks import random_mask, lama_generator
+
+_FORMATTER_REGISTRY = {}
+
+
+def register_formatter(name):
+    def wrap(cls):
+        _FORMATTER_REGISTRY[name] = cls
+        return cls
+    return wrap
+
+
+def get_formatter(cfg):
+    if isinstance(cfg, str):
+        return _FORMATTER_REGISTRY[cfg]()
+    typ = cfg["type"]
+    return _FORMATTER_REGISTRY[typ](**dict(cfg.get("args") or {}))
+
+
+@register_formatter("RandomMaskFormatter")
+class RandomMaskFormatter:
+    """CoModGAN freeform masks (ds_ffhq.py:330-345) — the eval protocol
+    behind the published metrics."""
+
+    def __init__(self, random_flip=True, mask_resolution=256,
+                 hole_range=(0, 1)):
+        self.random_flip = random_flip
+        self.mask_resolution = mask_resolution
+        self.hole_range = tuple(hole_range)
+
+    def __call__(self, element):
+        x = element["image"] * 2 - 1
+        if self.random_flip and np.random.rand() < 0.5:
+            x = x[:, :, ::-1].copy()
+        mask = random_mask(self.mask_resolution, self.hole_range)[0]
+        return x, mask, element["unique_id"]
+
+
+@register_formatter("LamaMaskFormatter")
+class LamaMaskFormatter:
+    """LaMa-style masks (ds_ffhq.py:351-381); generator output is inverted
+    to the 1=keep convention."""
+
+    def __init__(self, random_flip=True, resolution=256, type="thin"):
+        self.mask_maker = lama_generator(type, resolution)
+        self.random_flip = random_flip
+
+    def __call__(self, element):
+        x = element["image"] * 2 - 1
+        if self.random_flip and np.random.rand() < 0.5:
+            x = x[:, :, ::-1].copy()
+        mask = self.mask_maker(x)
+        mask = 1 - mask[0]
+        return x, mask.astype(np.float32), element["unique_id"]
+
+
+@register_formatter("CenterMaskFormatter")
+class CenterMaskFormatter:
+    """Center-square hole (reference CenterMaskFormatter,
+    ds_ffhq.py:125-140)."""
+
+    def __call__(self, element):
+        x = (element["image"] - 0.5) * 2
+        _, h, w = x.shape
+        mask = np.ones([h, w], np.float32)
+        mask[h // 4: h // 4 + h // 2, w // 4: w // 4 + w // 2] = 0
+        return x, mask, element["unique_id"]
+
+
+@register_formatter("FixedMaskFormatter")
+class FixedMaskFormatter:
+    """Load masks from files next to the images (the reference's
+    FixedMaskFormatter pattern for paired eval sets)."""
+
+    def __init__(self, mask_dir, suffix="_mask.png"):
+        self.mask_dir = mask_dir
+        self.suffix = suffix
+
+    def __call__(self, element):
+        from PIL import Image
+        import os.path as osp
+        x = element["image"] * 2 - 1
+        p = osp.join(self.mask_dir, element["unique_id"] + self.suffix)
+        m = np.asarray(Image.open(p).convert("1"), dtype=np.float32)
+        return x, m, element["unique_id"]
+
+
+@register_formatter("NoMaskFormatter")
+class NoMaskFormatter:
+    """All-keep mask (reference NoMaskFormatter)."""
+
+    def __call__(self, element):
+        x = element["image"] * 2 - 1
+        _, h, w = x.shape
+        return x, np.ones([h, w], np.float32), element["unique_id"]

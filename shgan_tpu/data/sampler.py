@@ -1,0 +1,80 @@
+"""Deterministic data sharding replacing the reference DistributedSampler.
+
+The reference splits indices evenly across ranks, padding from the front
+when ``extend=True`` or truncating otherwise, and broadcasts the rank-0
+shuffle order over NCCL (`/root/reference/lib/data_factory/common/
+ds_sampler.py:9-87`).  Under single-controller JAX there is nothing to
+broadcast: every host derives the same order from the same seed, takes its
+own contiguous shard, and per-batch validity masks replace the "extend"
+padding when exact counts matter (evaluators drop padded rows by mask).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def shard_indices(n, shard_id=0, num_shards=1, shuffle=False, seed=0,
+                  extend=True):
+    """Return (indices, valid) for this shard.
+
+    extend=True pads the global order from its own front so every shard has
+    ceil(n/num_shards) entries (ds_sampler.py:58-68); ``valid`` marks the
+    non-padded entries.
+    """
+    order = np.arange(n, dtype=np.int64)
+    if shuffle:
+        order = np.random.RandomState(seed).permutation(n).astype(np.int64)
+    valid = np.ones(n, dtype=bool)
+    per = -(-n // num_shards)  # ceil
+    total = per * num_shards
+    if total > n:
+        if extend:
+            pad = total - n
+            order = np.concatenate([order, order[:pad]])
+            valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+        else:
+            per = n // num_shards
+            order = order[: per * num_shards]
+            valid = valid[: per * num_shards]
+    return (order[shard_id * per:(shard_id + 1) * per],
+            valid[shard_id * per:(shard_id + 1) * per])
+
+
+class DataShard:
+    """Iterable over a dataset shard in fixed-size batches with a validity
+    mask; the last batch is padded by repeating the final element so shapes
+    stay static for jit."""
+
+    def __init__(self, dataset, formatter, batch_size, shard_id=0,
+                 num_shards=1, shuffle=False, seed=0, extend=True,
+                 drop_last=False):
+        self.dataset = dataset
+        self.formatter = formatter
+        self.batch_size = batch_size
+        self.indices, self.valid = shard_indices(
+            len(dataset), shard_id, num_shards, shuffle, seed, extend)
+        if drop_last:
+            k = (len(self.indices) // batch_size) * batch_size
+            self.indices, self.valid = self.indices[:k], self.valid[:k]
+
+    def __len__(self):
+        return -(-len(self.indices) // self.batch_size)
+
+    def __iter__(self):
+        bs = self.batch_size
+        for b in range(len(self)):
+            idx = self.indices[b * bs:(b + 1) * bs]
+            val = self.valid[b * bs:(b + 1) * bs]
+            if len(idx) < bs:  # pad final batch to static shape
+                pad = bs - len(idx)
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+                val = np.concatenate([val, np.zeros(pad, dtype=bool)])
+            reals, masks, uids = [], [], []
+            for i in idx:
+                r, m, u = self.formatter(self.dataset[int(i)])
+                reals.append(np.asarray(r, np.float32))
+                masks.append(np.asarray(m, np.float32))
+                uids.append(u)
+            yield (np.stack(reals), np.stack(masks)[:, None], val,
+                   uids)

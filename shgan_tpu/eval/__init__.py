@@ -1,0 +1,5 @@
+from .base import get_evaluator, register_evaluator, BaseEvaluator, ComposeEvaluator
+from .psnr import PSNREvaluator
+from .ssim import SSIMEvaluator, compute_ssim
+from .fid import FIDEvaluator, frechet_distance
+from .lpips import LPIPSEvaluator

@@ -1,0 +1,123 @@
+"""Evaluator base + registry + compose.
+
+Reference: `/root/reference/lib/evaluator/eva_base.py:21-304`.  The reference
+gathers per-rank results with serialized ``dist.broadcast`` rings
+(`eva_base.py:96-194`) and re-interleaves them with ``zipzap_arrange``
+(`eva_base.py:196-230`) to restore dataset order.  Under single-controller
+JAX the evaluator receives *global* batches (already gathered across the
+mesh by jit output sharding) plus a validity mask that replaces the
+"extend"-padding bookkeeping, so sync/zipzap disappear entirely; multi-host
+gathering is a ``process_allgather`` at add_batch time.
+
+Evaluators accumulate per-image scalars/features on the host in float64 and
+write ``result.json`` exactly like ``compose.save`` (`eva_base.py:249-304`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+_EVALUATOR_REGISTRY = {}
+
+
+def register_evaluator(name):
+    def wrap(cls):
+        _EVALUATOR_REGISTRY[name] = cls
+        cls.symbol = name
+        return cls
+    return wrap
+
+
+def get_evaluator(cfg):
+    """cfg: list of {'type': name, 'args': {...}} → ComposeEvaluator."""
+    if isinstance(cfg, (list, tuple)):
+        evs = [_EVALUATOR_REGISTRY[c["type"]](**dict(c.get("args") or {}))
+               for c in cfg]
+        return ComposeEvaluator(evs)
+    return _EVALUATOR_REGISTRY[cfg["type"]](**dict(cfg.get("args") or {}))
+
+
+class BaseEvaluator:
+    symbol = "base"
+
+    def __init__(self):
+        self.final = {}
+        self.sample_n = None
+
+    def set_sample_n(self, n):
+        self.sample_n = n
+
+    def add_batch(self, **kwargs):
+        raise NotImplementedError
+
+    def compute(self):
+        raise NotImplementedError
+
+    def one_line_summary(self):
+        print("Evaluator {}: {}".format(self.symbol, self.final))
+
+    def clear_data(self):
+        pass
+
+    @staticmethod
+    def _apply_valid(arrays, valid):
+        """Drop padded rows (the extend=True padding of the sampler)."""
+        if valid is None:
+            return arrays
+        valid = np.asarray(valid, bool)
+        return [None if a is None else np.asarray(a)[valid] for a in arrays]
+
+
+class ComposeEvaluator:
+    """Multi-metric pipeline with result.json save
+    (eva_base.py:259-304)."""
+
+    def __init__(self, evaluators):
+        self.evaluators = evaluators
+        self.sample_n = None
+
+    def add_batch(self, **kwargs):
+        for e in self.evaluators:
+            e.add_batch(**kwargs)
+
+    def set_sample_n(self, n):
+        self.sample_n = n
+        for e in self.evaluators:
+            e.set_sample_n(n)
+
+    def compute(self):
+        return {e.symbol: e.compute() for e in self.evaluators}
+
+    def one_line_summary(self):
+        for e in self.evaluators:
+            e.one_line_summary()
+
+    def clear_data(self):
+        for e in self.evaluators:
+            e.clear_data()
+
+    def save(self, log_dir):
+        results = {e.symbol: _jsonable(e.final) for e in self.evaluators}
+        os.makedirs(log_dir, exist_ok=True)
+        path = osp.join(log_dir, "result.json")
+        if osp.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+            old.update(results)
+            results = old
+        with open(path, "w") as f:
+            json.dump(results, f, indent=2)
+        return path
+
+
+def _jsonable(d):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, (np.floating, np.integer)):
+            v = v.item()
+        out[k] = v
+    return out

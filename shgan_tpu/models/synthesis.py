@@ -320,8 +320,13 @@ class CoModSynthesis:
         self.resolution = resolution
         self.rgb_n = rgb_n
         self.block_res = [2 ** i for i in range(2, log2res + 1)]
-        # fixed num_ws per resolution (comodgan.py:367-372)
-        self.num_ws = {256: 14, 512: 16, 1024: 18}[resolution]
+        # the reference hard-codes num_ws per resolution (comodgan.py:367-372);
+        # those values equal 2·len(block_res) (b4 consumes 1 conv w + the
+        # final torgb w, every other block 2 conv ws), which we use so that
+        # resolutions below 256 also work.
+        self.num_ws = 2 * len(self.block_res)
+        assert self.num_ws == {256: 14, 512: 16, 1024: 18}.get(
+            resolution, self.num_ws)
 
         hidden_ch = min(ch_base // self.block_res[0], ch_max)
         self.blocks = {4: CoModSynthesisBlockFirst(

@@ -1,0 +1,2 @@
+from .mesh import (create_mesh, replicated, batch_sharding, shard_batch,
+                   local_batch_to_global)

@@ -1,0 +1,275 @@
+"""Execution stages: the production eval path and the training loop.
+
+Reference call stack (SURVEY §3.1): ``main.py`` → config bank →
+``exec_container`` (one process per GPU, NCCL) → ``shgan_default.eval_stage``
+(`/root/reference/lib/experiments/shgan_default.py:127-303`).  Here a single
+controller drives the whole mesh: the stage builds a ('data','model') mesh,
+jits the generator across it, streams mesh-sharded batches from the host
+pipeline, and feeds the evaluator stack with validity masks instead of
+rank-interleaved gathers.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import os.path as osp
+import timeit
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import get_model
+from ..data import get_dataset
+from ..data.formatters import get_formatter
+from ..data.pipeline import EvalPipeline, TrainPipeline
+from ..parallel import create_mesh, replicated
+from ..eval import get_evaluator
+from ..checkpoint import load_torch_pth, torch_state_dict_to_params
+from .logging import print_log, ScalarLogger
+
+
+def build_generator(cfg_model, pretrained_pth=None, strict=True, seed=0):
+    """Model + params, optionally loading a reference ``.pth``
+    (shgan_default.py:221-226)."""
+    G = get_model(cfg_model)
+    params = G.init(jax.random.key(seed))
+    if pretrained_pth is not None:
+        if not osp.isfile(pretrained_pth):
+            raise FileNotFoundError(pretrained_pth)
+        sd = load_torch_pth(pretrained_pth)
+        loaded = torch_state_dict_to_params(sd)
+        params = _merge_params(params, loaded, strict=strict)
+        print_log(f"Load from [{pretrained_pth}] strict_sd [{strict}]")
+    return G, params
+
+
+def _merge_params(params, loaded, strict=True, path=""):
+    """Non-strict load = update matching keys (get_model.py:10-22)."""
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            out[k] = _merge_params(v, loaded.get(k, {}), strict,
+                                   f"{path}{k}.")
+        elif k in loaded:
+            lv = jnp.asarray(np.asarray(loaded[k]), jnp.float32)
+            assert lv.shape == v.shape, (path + k, lv.shape, v.shape)
+            out[k] = lv
+        else:
+            if strict:
+                raise KeyError(f"missing key in checkpoint: {path}{k}")
+            out[k] = v
+    if strict:
+        extra = set(loaded) - set(params)
+        if extra:
+            raise KeyError(f"unexpected checkpoint keys at {path!r}: "
+                           f"{sorted(extra)[:8]}")
+    return out
+
+
+def save_image_grid(images, path, drange=(-1, 1), grid_size=(8, 6)):
+    """Tile NCHW images into one PNG (reference grid tiler,
+    stylegan_default.py:74-91)."""
+    from PIL import Image
+    lo, hi = drange
+    imgs = np.asarray(images, np.float32)
+    imgs = (imgs - lo) / (hi - lo) * 255
+    imgs = np.rint(imgs).clip(0, 255).astype(np.uint8)
+    gw, gh = grid_size
+    n, c, h, w = imgs.shape
+    grid = np.zeros((c, gh * h, gw * w), np.uint8)
+    for i in range(min(n, gw * gh)):
+        y, x = divmod(i, gw)
+        grid[:, y * h:(y + 1) * h, x * w:(x + 1) * w] = imgs[i]
+    grid = grid.transpose(1, 2, 0)
+    if c == 1:
+        grid = grid[:, :, 0]
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    Image.fromarray(grid).save(path)
+
+
+def draw_demo_grid(G, params, dataset, formatter, log_dir, z_dim,
+                   grid_size=(8, 6), batch=16, seed=0,
+                   subfolder="demo", filename="fakes.png"):
+    """Demo grid writer: fakes / fakes_combined / masks / reals / erased
+    (reference draw_functor, shgan_default.py:27-121)."""
+    n = grid_size[0] * grid_size[1]
+    rng = np.random.RandomState(seed)
+    reals, masks = [], []
+    for i in range(n):
+        r, m, _ = formatter(dataset[i % len(dataset)])
+        reals.append(np.asarray(r, np.float32))
+        masks.append(np.asarray(m, np.float32))
+    real = np.stack(reals)
+    mask = np.stack(masks)[:, None]
+    erased = real * mask
+    x = np.concatenate([mask - 0.5, erased], axis=1)
+    z = rng.randn(n, z_dim).astype(np.float32)
+
+    fwd = jax.jit(lambda p, x, z: G(p, x, z, noise_mode="const"))
+    fakes = []
+    for i in range(0, n, batch):
+        fakes.append(np.asarray(fwd(params, jnp.asarray(x[i:i + batch]),
+                                    jnp.asarray(z[i:i + batch]))))
+    fake = np.concatenate(fakes)
+
+    out = osp.join(log_dir, subfolder)
+    save_image_grid(fake, osp.join(out, filename), (-1, 1), grid_size)
+    combined = real * mask + fake * (1 - mask)
+    stem, ext = osp.splitext(filename)
+    save_image_grid(combined, osp.join(out, stem + "_combined" + ext),
+                    (-1, 1), grid_size)
+    save_image_grid(mask, osp.join(out, "masks.png"), (0, 1), grid_size)
+    save_image_grid(real, osp.join(out, "reals.png"), (-1, 1), grid_size)
+    save_image_grid(erased, osp.join(out, "erased.png"), (-1, 1), grid_size)
+
+
+class eval_stage:
+    """FID/LPIPS/PSNR/SSIM evaluation of a (pretrained) generator —
+    the reference's production path (shgan_default.py:156-303)."""
+
+    def __call__(self, cfg):
+        cfgv = cfg["eval"]
+        cfge = cfg.get("env", {})
+        seed = cfge.get("rnd_seed", 0) or 0
+        log_dir = cfgv.get("log_dir") or "log/eval"
+
+        mesh = create_mesh()
+        n_dev = mesh.devices.size
+        batch_size = cfgv.get("batch_size") or (
+            cfgv["batch_size_per_gpu"] * n_dev)
+        print_log(f"devices: {n_dev}, global eval batch: {batch_size}")
+
+        dataset = get_dataset(cfgv["dataset"])
+        formatter = get_formatter(cfgv["dataset"]["formatter"])
+        pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh,
+                            seed=seed)
+
+        G, params = build_generator(
+            cfg["model_g"], cfgv.get("pretrained_pth"),
+            strict=cfgv.get("strict_sd", True), seed=seed)
+        params = jax.device_put(params, replicated(mesh))
+
+        if cfgv.get("output_sample_images", False):
+            draw_demo_grid(G, params, dataset, formatter, log_dir, G.z_dim)
+
+        evaluator = get_evaluator(cfgv["evaluator"])
+
+        @jax.jit
+        def run_generator(params, real, mask, z, rng):
+            """composite + uint8 quantize (shgan_default.py:257-262)."""
+            x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
+            img = G(params, x, z, noise_mode="random", rng=rng)
+            img_combined = real * mask + img * (1 - mask)
+            fake_u8 = jnp.clip(img_combined * 127.5 + 127.5, 0, 255)
+            return fake_u8
+
+        key = jax.random.key(seed)
+        log_display = cfgv.get("log_display", 10)
+        t0 = timeit.default_timer()
+        for idx, (real, mask, valid, uids) in enumerate(pipe):
+            key, kz, kn = jax.random.split(key, 3)
+            z = jax.random.normal(kz, (batch_size, G.z_dim))
+            fake = run_generator(params, real, mask, z, kn)
+            fake_np = np.asarray(fake)
+            real_np = np.asarray(real)
+            evaluator.add_batch(
+                pred=fake_np / 255.0,
+                gt=(real_np + 1) / 2,
+                fake=fake_np,
+                real=real_np * 127.5 + 127.5,
+                fn=uids, valid=valid)
+            if idx % log_display == log_display - 1:
+                print_log("processed.. {}, Time:{:.2f}s".format(
+                    idx + 1, timeit.default_timer() - t0))
+                t0 = timeit.default_timer()
+
+        evaluator.set_sample_n(len(dataset))
+        rv = evaluator.compute()
+        evaluator.one_line_summary()
+        evaluator.save(log_dir)
+        evaluator.clear_data()
+        return {"eval_rv": rv}
+
+
+class train_stage:
+    """The working StyleGAN2/CoModGAN training loop (the reference's is
+    partially dead, stylegan_default.py:93-581; spec preserved)."""
+
+    def __call__(self, cfg):
+        from ..train import (TrainConfig, init_train_state, make_train_step,
+                             compute_ema_beta)
+        cfgt = cfg["train"]
+        cfge = cfg.get("env", {})
+        seed = cfge.get("rnd_seed", 0) or 0
+        log_dir = cfgt.get("log_dir") or "log/train"
+
+        mesh = create_mesh()
+        n_dev = mesh.devices.size
+        batch_size = cfgt.get("batch_size") or (
+            cfgt["batch_size_per_gpu"] * n_dev)
+
+        dataset = get_dataset(cfgt["dataset"])
+        formatter = get_formatter(cfgt["dataset"]["formatter"])
+        pipe = TrainPipeline(dataset, formatter, batch_size, mesh=mesh,
+                             seed=seed)
+
+        G = get_model(cfg["model_g"])
+        D = get_model(cfg["model_d"])
+        tc = TrainConfig(**(cfgt.get("loss_kwargs") or {}))
+        state = init_train_state(G, D, jax.random.key(seed), tc)
+        state = jax.device_put(state, replicated(mesh))
+        step_fn = jax.jit(make_train_step(G, D, tc),
+                          static_argnames=("do_greg", "do_dreg"),
+                          donate_argnums=(0,))
+
+        logger = ScalarLogger(log_dir, tensorboard=cfgt.get(
+            "log_tensorboard", False))
+        total_kimg = cfgt.get("total_kimg", 25000)
+        kimg_per_tick = cfgt.get("kimg_per_tick", 4)
+        snapshot_ticks = cfgt.get("snapshot_ticks", 50)
+        cur_nimg, cur_tick, tick_start = 0, 0, 0
+        key = jax.random.key(seed + 1)
+        it = iter(pipe)
+        import time as _time
+        t_tick = _time.time()
+        while cur_nimg < total_kimg * 1000:
+            real, mask = next(it)
+            step_i = int(cur_nimg // batch_size)
+            key, k = jax.random.split(key)
+            beta = compute_ema_beta(tc, batch_size, cur_nimg)
+            state, metrics = step_fn(
+                state, (real, mask), k, jnp.float32(beta),
+                do_greg=(step_i % tc.g_reg_interval == 0),
+                do_dreg=(step_i % tc.d_reg_interval == 0))
+            logger.accumulate(
+                {k2: float(v) for k2, v in metrics.items()})
+            cur_nimg += batch_size
+            if cur_nimg >= tick_start + kimg_per_tick * 1000 \
+                    or cur_nimg >= total_kimg * 1000:
+                means = logger.flush(cur_nimg)
+                dt = _time.time() - t_tick
+                t_tick = _time.time()
+                print_log(
+                    "tick {:<5d} kimg {:<8.1f} sec/kimg {:<7.2f} "
+                    "loss_g {:.3f} loss_d {:.3f}".format(
+                        cur_tick, cur_nimg / 1e3,
+                        dt / max(cur_nimg - tick_start, 1) * 1e3,
+                        means.get("loss_g", float("nan")),
+                        means.get("loss_d", float("nan"))))
+                tick_start = cur_nimg
+                cur_tick += 1
+                if cur_tick % snapshot_ticks == 0:
+                    self.save_snapshot(state, log_dir, cur_nimg)
+        logger.close()
+        self.save_snapshot(state, log_dir, cur_nimg)
+        return {"state": state}
+
+    @staticmethod
+    def save_snapshot(state, log_dir, cur_nimg):
+        from ..checkpoint.orbax_io import save_checkpoint
+        path = osp.join(log_dir, "weight",
+                        "network-snapshot-{:06d}".format(cur_nimg // 1000))
+        save_checkpoint(path, state)
+        print_log(f"saved snapshot {path}")

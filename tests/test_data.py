@@ -1,0 +1,143 @@
+"""Data subsystem tests: mask generators bit-identical to the reference
+under a shared numpy seed; sampler shard/pad semantics; pipelines."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from shgan_tpu.data import (random_mask, MixedMaskGenerator, LAMA_SETTINGS,
+                            SyntheticDataset, RandomMaskFormatter,
+                            LamaMaskFormatter, CenterMaskFormatter,
+                            shard_indices, DataShard, EvalPipeline)
+
+
+def _stub_ref_deps():
+    """Stub torchvision/pyspng so the reference data modules import."""
+    import types
+    for name in ("torchvision", "torchvision.models",
+                 "torchvision.transforms", "pyspng"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "torchvision.transforms":
+                mod.ToTensor = object
+            if name == "pyspng":
+                mod.load = lambda b: None
+            sys.modules[name] = mod
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision"].transforms = (
+        sys.modules["torchvision.transforms"])
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+def _ref_random_mask(s, hole_range):
+    import importlib
+    _stub_ref_deps()
+    mod = importlib.import_module("lib.data_factory.ds_ffhq")
+    return mod.RandomMask(s, hole_range=list(hole_range))
+
+
+def _ref_lama(setting):
+    import importlib
+    _stub_ref_deps()
+    mod = importlib.import_module("lib.data_factory.lama_mask_utils")
+    return mod.MixedMaskGenerator(**setting)
+
+
+ffhq_import_ok = True
+try:
+    _ref_random_mask(32, (0, 1))
+except Exception:  # torchvision/pyspng missing etc.
+    ffhq_import_ok = False
+
+
+@pytest.mark.skipif(not ffhq_import_ok,
+                    reason="reference ds_ffhq not importable")
+@pytest.mark.parametrize("seed", [0, 7, 123])
+def test_random_mask_bit_identical(seed):
+    np.random.seed(seed)
+    want = _ref_random_mask(128, (0, 1))
+    np.random.seed(seed)
+    got = random_mask(128, (0, 1))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("kind,res", [("thin", 256), ("medium", 256),
+                                      ("thick", 512)])
+def test_lama_masks_bit_identical(kind, res):
+    setting = LAMA_SETTINGS[(kind, res)]
+    ref_gen = _ref_lama(setting)
+    got_gen = MixedMaskGenerator(**setting)
+    img = np.zeros((3, res, res), np.float32)
+    for seed in (1, 2):
+        np.random.seed(seed)
+        import random
+        random.seed(seed)
+        want = ref_gen(img)
+        np.random.seed(seed)
+        random.seed(seed)
+        got = got_gen(img)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_random_mask_hole_range():
+    np.random.seed(0)
+    for _ in range(3):
+        m = random_mask(64, (0.2, 0.8))
+        ratio = 1 - m.mean()
+        assert 0.2 < ratio < 0.8
+
+
+def test_shard_indices_extend_semantics():
+    # 10 items over 4 shards → 3 each, padded from the front (2 pads)
+    all_idx, all_valid = [], []
+    for s in range(4):
+        idx, valid = shard_indices(10, s, 4, extend=True)
+        assert len(idx) == 3
+        all_idx.append(idx)
+        all_valid.append(valid)
+    flat = np.concatenate(all_idx)
+    assert (np.sort(flat[np.concatenate(all_valid)]) == np.arange(10)).all()
+    assert np.concatenate(all_valid).sum() == 10
+    # padding reuses the front of the order (ds_sampler.py:58-68)
+    assert flat[-2] == 0 and flat[-1] == 1
+
+
+def test_shard_indices_truncate():
+    idx, valid = shard_indices(10, 0, 4, extend=False)
+    assert len(idx) == 2 and valid.all()
+
+
+def test_datashard_batches_and_formatter():
+    ds = SyntheticDataset(resolution=64, length=10)
+    fmt = CenterMaskFormatter()
+    shard = DataShard(ds, fmt, batch_size=4)
+    batches = list(shard)
+    assert len(batches) == 3
+    real, mask, valid, uids = batches[-1]
+    assert real.shape == (4, 3, 64, 64) and mask.shape == (4, 1, 64, 64)
+    assert valid.sum() == 2  # 10 items → last batch has 2 valid
+    assert real.min() >= -1 and real.max() <= 1
+    # center mask: hole in the middle
+    assert mask[0, 0, 32, 32] == 0 and mask[0, 0, 1, 1] == 1
+
+
+def test_formatters_contract():
+    ds = SyntheticDataset(resolution=64, length=2)
+    for fmt in (RandomMaskFormatter(mask_resolution=64),
+                LamaMaskFormatter(resolution=256, type="thin"),):
+        real, mask, uid = fmt(ds[0])
+        assert real.shape[0] == 3
+        assert set(np.unique(mask)).issubset({0.0, 1.0})
+        assert isinstance(uid, str)
+
+
+def test_eval_pipeline_prefetch():
+    ds = SyntheticDataset(resolution=32, length=9)
+    pipe = EvalPipeline(ds, CenterMaskFormatter(), batch_size=4)
+    n_valid = 0
+    for real, mask, valid, uids in pipe:
+        assert real.shape == (4, 3, 32, 32)
+        n_valid += int(valid.sum())
+    assert n_valid == 9
