@@ -38,6 +38,10 @@ _DTYPE_BY_STORAGE = {
 }
 
 
+class _AttrDict(dict):
+    """dict that tolerates attribute assignment (OrderedDict._metadata)."""
+
+
 class _StorageType:
     def __init__(self, name):
         self.name = name
@@ -83,7 +87,9 @@ class _Unpickler(pickle.Unpickler):
         if module == "torch" and name in _DTYPE_BY_STORAGE:
             return _StorageType(name)
         if module == "collections" and name == "OrderedDict":
-            return dict
+            # dict subclass so pickle BUILD can attach the state_dict
+            # _metadata attribute
+            return _AttrDict
         if module == "torch.serialization" and name == "_get_layout":
             return lambda *a, **k: None
         if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
