@@ -36,9 +36,17 @@ def main():
 
     res = int(os.environ.get("BENCH_RES", "512"))
     small = os.environ.get("BENCH_SMALL", "0") == "1"
+    bf16 = os.environ.get("BENCH_BF16", "0") == "1"
     on_cpu = jax.default_backend() == "cpu"
     suffix = "_small" if small else ""
-    G = get_model(model_cfg_bank()(f"shgan_g{res}{suffix}"))
+    cfg = model_cfg_bank()(f"shgan_g{res}{suffix}")
+    if bf16:
+        # run blocks above 16x16 in bfloat16 (the reference's fp16 knob,
+        # configs/model/comodgan.yaml:27,46 — shipped off; bf16 is the
+        # TPU-native equivalent)
+        cfg["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
+        cfg["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
+    G = get_model(cfg)
     params = G.init(jax.random.key(0))
 
     def forward(params, real, mask, z, key):

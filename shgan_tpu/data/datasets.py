@@ -41,13 +41,18 @@ _DATASET_CFG_KEYS = ("root_dir", "mode", "resolution", "try_sample",
                      "length", "seed")
 
 
-def get_dataset(cfg):
+def get_dataset(cfg, fallback_synthetic=False):
     """Build a dataset from a config dict.
 
     Accepts the reference's dataset-bank layout (top-level ``root_dir`` /
     ``mode`` keys, `configs/dataset/ffhq.yaml:68-76`) and/or an ``args``
     dict; unknown orchestration keys (loader/transform/estimator/formatter)
     are handled elsewhere and ignored here.
+
+    With ``fallback_synthetic=True`` (debug/smoke runs — the reference's
+    ``--debug`` mode is its de-facto integration test, SURVEY.md §4), a
+    missing data root degrades to the deterministic :class:`SyntheticDataset`
+    at the configured resolution instead of failing.
     """
     if isinstance(cfg, str):
         return _DATASET_REGISTRY[cfg]()
@@ -56,7 +61,21 @@ def get_dataset(cfg):
     for k in _DATASET_CFG_KEYS:
         if cfg.get(k) is not None and k not in args:
             args[k] = cfg[k]
-    return _DATASET_REGISTRY[typ](**args)
+    try:
+        return _DATASET_REGISTRY[typ](**args)
+    except FileNotFoundError:
+        if not fallback_synthetic:
+            raise
+        res = args.get("resolution")
+        if res is None:
+            digits = "".join(c for c in str(args.get("mode", ""))
+                             if c.isdigit())
+            res = int(digits) if digits else 256
+        import sys
+        print(f"[shgan_tpu.data] data root missing for {typ!r}; using "
+              f"synthetic {res}px dataset (debug fallback)", file=sys.stderr)
+        return SyntheticDataset(resolution=res, length=64,
+                                try_sample=args.get("try_sample"))
 
 
 def _decode_png(data):

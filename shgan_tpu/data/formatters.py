@@ -35,16 +35,30 @@ class RandomMaskFormatter:
     behind the published metrics."""
 
     def __init__(self, random_flip=True, mask_resolution=256,
-                 hole_range=(0, 1)):
+                 hole_range=(0, 1), impl="auto"):
         self.random_flip = random_flip
         self.mask_resolution = mask_resolution
         self.hole_range = tuple(hole_range)
+        self.impl = impl
+        self._native = None
+        if impl != "numpy":
+            from ..native.maskgen import native_available
+            self._native = native_available() or None
 
     def __call__(self, element):
         x = element["image"] * 2 - 1
         if self.random_flip and np.random.rand() < 0.5:
             x = x[:, :, ::-1].copy()
-        mask = random_mask(self.mask_resolution, self.hole_range)[0]
+        if self._native:
+            # C++ batch generator (shgan_tpu/native/src/maskgen.cpp), seeded
+            # from the formatter RNG stream to stay reproducible.
+            from ..native.maskgen import random_mask_batch
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+            mask = random_mask_batch(1, self.mask_resolution,
+                                     self.hole_range, seed=seed,
+                                     num_threads=1)[0, 0]
+        else:
+            mask = random_mask(self.mask_resolution, self.hole_range)[0]
         return x, mask, element["unique_id"]
 
 

@@ -72,6 +72,19 @@ class BaseEvaluator:
         return [None if a is None else np.asarray(a)[valid] for a in arrays]
 
 
+@register_evaluator("null")
+class NullEvaluator(BaseEvaluator):
+    """No-op metric (reference ``null_evaluator``, eva_null.py:10) — used
+    when only the generated-image dump or demo grid is wanted."""
+
+    def add_batch(self, **kwargs):
+        pass
+
+    def compute(self):
+        self.final = {"null": None}
+        return None
+
+
 class ComposeEvaluator:
     """Multi-metric pipeline with result.json save
     (eva_base.py:259-304)."""

@@ -141,20 +141,36 @@ class eval_stage:
             cfgv["batch_size_per_gpu"] * n_dev)
         print_log(f"devices: {n_dev}, global eval batch: {batch_size}")
 
-        dataset = get_dataset(cfgv["dataset"])
+        dataset = get_dataset(cfgv["dataset"],
+                              fallback_synthetic=cfge.get("debug", False))
         formatter = get_formatter(cfgv["dataset"]["formatter"])
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh,
                             seed=seed)
 
+        pretrained = cfgv.get("pretrained_pth")
+        if (pretrained and not osp.isfile(pretrained)
+                and cfge.get("debug", False)):
+            print_log(f"debug: pretrained [{pretrained}] missing — "
+                      "using random init")
+            pretrained = None
         G, params = build_generator(
-            cfg["model_g"], cfgv.get("pretrained_pth"),
+            cfg["model_g"], pretrained,
             strict=cfgv.get("strict_sd", True), seed=seed)
         params = jax.device_put(params, replicated(mesh))
 
         if cfgv.get("output_sample_images", False):
             draw_demo_grid(G, params, dataset, formatter, log_dir, G.z_dim)
 
-        evaluator = get_evaluator(cfgv["evaluator"])
+        try:
+            evaluator = get_evaluator(cfgv["evaluator"])
+        except FileNotFoundError as e:
+            if not cfge.get("debug", False):
+                raise
+            # debug smoke: metrics that need external detector weights
+            # degrade to the weight-free ones
+            print_log(f"debug: evaluator asset missing ({e}); "
+                      "falling back to [psnr, ssim]")
+            evaluator = get_evaluator([{"type": "psnr"}, {"type": "ssim"}])
 
         @jax.jit
         def run_generator(params, real, mask, z, rng):
@@ -210,7 +226,8 @@ class train_stage:
         batch_size = cfgt.get("batch_size") or (
             cfgt["batch_size_per_gpu"] * n_dev)
 
-        dataset = get_dataset(cfgt["dataset"])
+        dataset = get_dataset(cfgt["dataset"],
+                              fallback_synthetic=cfge.get("debug", False))
         formatter = get_formatter(cfgt["dataset"]["formatter"])
         pipe = TrainPipeline(dataset, formatter, batch_size, mesh=mesh,
                              seed=seed)
