@@ -10,6 +10,8 @@ Env knobs:
   BENCH_RES=256|512      resolution (default 512)
   BENCH_SMALL=1          use ch_base-16384 variant
   BENCH_BATCH=N          fixed batch size (default: auto sweep)
+  BENCH_RNG=rbg          PRNG impl for noise keys (default threefry;
+                         rbg uses the TPU-native RngBitGenerator)
 """
 
 from __future__ import annotations
@@ -78,7 +80,7 @@ def main():
             mask = jnp.asarray(
                 (rng.rand(bs, 1, res, res) > 0.5).astype(np.float32))
             z = jnp.asarray(rng.randn(bs, G.z_dim).astype(np.float32))
-            key = jax.random.key(1)
+            key = jax.random.key(1, impl=os.environ.get("BENCH_RNG") or None)
             # compile + warmup (2 full syncs)
             for i in range(2):
                 np.asarray(fwd(params, real, mask, z,

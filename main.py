@@ -31,6 +31,8 @@ def get_args():
     p.add_argument("--pretrained", type=str, default=None,
                    help="override eval.pretrained_pth")
     p.add_argument("--eval_tag", type=str, default=None)
+    p.add_argument("--demo", action="store_true",
+                   help="write the demo image grid and exit (draw_functor)")
     p.add_argument("--dscache", type=str, default=None)  # compat
     p.add_argument("--resume_path", type=str, default=None)
     p.add_argument("--resume_itern", type=int, default=None)
@@ -53,12 +55,20 @@ def main():
             cfg["eval"]["experiment_id"] = args.eval
     if args.seed is not None:
         cfg["env"]["rnd_seed"] = args.seed
+    if args.gpu is not None:
+        # reference: --gpu picks the devices (cfg_helper.py:400-420);
+        # here it bounds the mesh size
+        cfg["env"]["mesh_devices"] = len(args.gpu)
     if args.debug:
         cfg = apply_debug_shrink(cfg)
     if args.pretrained is not None:
         cfg["eval"]["pretrained_pth"] = args.pretrained
     if args.eval_tag is not None:
         cfg["eval"]["eval_tag"] = args.eval_tag
+    if args.resume_path is not None and cfg.get("train") is not None:
+        cfg["train"]["resume_path"] = args.resume_path
+        if args.resume_itern is not None:
+            cfg["train"]["resume_itern"] = args.resume_itern
 
     # log dir layout: log/<model>_<dataset>/<expid>/<eval_tag|train>
     # (cfg_helper.py:524-564)
@@ -82,6 +92,11 @@ def main():
     print_log(f"experiment: {args.experiment}  stage: {section}")
     print_log(f"log_dir: {log_dir}")
 
+    if args.demo:
+        # demo grid only (reference --demo → draw_functor,
+        # shgan_default.py:27-121)
+        cfg.setdefault("eval", {})["output_sample_images"] = True
+        cfg["eval"]["demo_only"] = True
     stage = eval_stage() if is_eval else train_stage()
     rv = stage(cfg)
     print_log("done.")

@@ -222,6 +222,13 @@ def apply_debug_shrink(cfg):
                 cfg[sec]["dataset"]["try_sample"] = 32
             # skip the demo grid in debug (extra jit compiles)
             cfg[sec]["output_sample_images"] = False
+    if cfg.get("train"):
+        # a debug train run is a smoke test: a handful of steps, one
+        # snapshot (the reference's --debug is its de-facto integration
+        # test, SURVEY.md §4)
+        cfg["train"]["total_kimg"] = 0.08
+        cfg["train"]["kimg_per_tick"] = 0.02
+        cfg["train"]["snapshot_ticks"] = 2
     if cfg.get("env") is not None:
         cfg["env"]["debug"] = True
     return cfg

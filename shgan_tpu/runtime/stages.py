@@ -135,7 +135,7 @@ class eval_stage:
         seed = cfge.get("rnd_seed", 0) or 0
         log_dir = cfgv.get("log_dir") or "log/eval"
 
-        mesh = create_mesh()
+        mesh = create_mesh(cfge.get("mesh_devices"))
         n_dev = mesh.devices.size
         batch_size = cfgv.get("batch_size") or (
             cfgv["batch_size_per_gpu"] * n_dev)
@@ -160,6 +160,9 @@ class eval_stage:
 
         if cfgv.get("output_sample_images", False):
             draw_demo_grid(G, params, dataset, formatter, log_dir, G.z_dim)
+            if cfgv.get("demo_only", False):
+                print_log(f"demo grid written to {log_dir}/demo")
+                return {"eval_rv": None}
 
         try:
             evaluator = get_evaluator(cfgv["evaluator"])
@@ -221,7 +224,7 @@ class train_stage:
         seed = cfge.get("rnd_seed", 0) or 0
         log_dir = cfgt.get("log_dir") or "log/train"
 
-        mesh = create_mesh()
+        mesh = create_mesh(cfge.get("mesh_devices"))
         n_dev = mesh.devices.size
         batch_size = cfgt.get("batch_size") or (
             cfgt["batch_size_per_gpu"] * n_dev)
@@ -247,24 +250,56 @@ class train_stage:
         kimg_per_tick = cfgt.get("kimg_per_tick", 4)
         snapshot_ticks = cfgt.get("snapshot_ticks", 50)
         cur_nimg, cur_tick, tick_start = 0, 0, 0
+
+        resume_path = cfgt.get("resume_path")
+        if resume_path:
+            from ..checkpoint.orbax_io import load_checkpoint
+            state = load_checkpoint(resume_path, state)
+            state = jax.device_put(state, replicated(mesh))
+            cur_nimg = (cfgt.get("resume_itern") or int(state["step"])) \
+                * batch_size
+            tick_start = cur_nimg
+            print_log(f"resumed from {resume_path} at {cur_nimg/1e3:.1f} "
+                      "kimg")
+
+        # jax.profiler trace of a few steady-state steps (the reference's
+        # per-phase CUDA-event timing, stylegan_default.py:321-326, becomes
+        # an XLA trace viewable in TensorBoard/xprof)
+        profile_dir = (cfgt.get("profile_dir")
+                       or os.environ.get("SHGAN_PROFILE_DIR"))
+        profile_at = 8 if profile_dir else -1
+
         key = jax.random.key(seed + 1)
         it = iter(pipe)
         import time as _time
         t_tick = _time.time()
+        step_count = 0
+        pending = []  # device-side metric dicts; read back once per tick
         while cur_nimg < total_kimg * 1000:
             real, mask = next(it)
             step_i = int(cur_nimg // batch_size)
             key, k = jax.random.split(key)
             beta = compute_ema_beta(tc, batch_size, cur_nimg)
+            if step_count == profile_at:
+                jax.profiler.start_trace(profile_dir)
             state, metrics = step_fn(
                 state, (real, mask), k, jnp.float32(beta),
                 do_greg=(step_i % tc.g_reg_interval == 0),
                 do_dreg=(step_i % tc.d_reg_interval == 0))
-            logger.accumulate(
-                {k2: float(v) for k2, v in metrics.items()})
+            if step_count == profile_at + 2 and profile_at >= 0:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print_log(f"wrote profiler trace to {profile_dir}")
+            # keep metrics on device: a float() here would force a blocking
+            # host readback every step
+            pending.append(metrics)
+            step_count += 1
             cur_nimg += batch_size
             if cur_nimg >= tick_start + kimg_per_tick * 1000 \
                     or cur_nimg >= total_kimg * 1000:
+                for m in jax.device_get(pending):
+                    logger.accumulate({k2: float(v) for k2, v in m.items()})
+                pending.clear()
                 means = logger.flush(cur_nimg)
                 dt = _time.time() - t_tick
                 t_tick = _time.time()

@@ -95,7 +95,10 @@ def init_train_state(G, D, key, cfg: TrainConfig):
     return {
         "params_g": params_g,
         "params_d": params_d,
-        "params_gema": jax.tree.map(lambda x: x, params_g),
+        # real copies, not aliases: params_gema leaves must be distinct
+        # buffers from params_g or donating the state fails with
+        # "attempt to donate the same buffer twice"
+        "params_gema": jax.tree.map(jnp.copy, params_g),
         "opt_g": g_tx.init(params_g),
         "opt_d": d_tx.init(params_d),
         "pl_mean": jnp.zeros((), jnp.float32),

@@ -1,11 +1,11 @@
 """Component-level timing of the SH-GAN 512 forward pass on the current
 JAX backend, plus an NCHW-vs-NHWC conv layout microbenchmark.
 
-Each timed closure returns only a tiny device-side scalar so the tunnel
-transfer cost does not pollute the measurement; a 1-element readback is the
-sync fence.
+Tunnel-safety: ALL inputs are generated on-device (jax.random) and every
+timed closure returns a tiny scalar — no bulk host<->device transfers, which
+on tunneled TPU backends dwarf the compute being measured.
 
-Usage:  python tools/profile_fwd.py [--bs 16] [--res 512] [--bf16]
+Usage:  python tools/profile_fwd.py [--bs 32] [--res 512] [--bf16]
 """
 
 from __future__ import annotations
@@ -18,13 +18,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=8, warmup=2):
+def timeit(fn, *args, iters=6, warmup=2):
+    # np.asarray readback of the scalar result is the sync fence —
+    # block_until_ready is not reliable on tunneled TPU backends, and the
+    # TPU executes queued programs in order, so fetching the last result
+    # bounds the whole run.
     for _ in range(warmup):
-        np.asarray(jax.block_until_ready(fn(*args)))
+        np.asarray(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    np.asarray(jax.block_until_ready(out))
+        r = fn(*args)
+    np.asarray(r)
     return (time.perf_counter() - t0) / iters
 
 
@@ -38,96 +42,91 @@ def profile_components(bs, res, bf16):
         cfg["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
     G = get_model(cfg)
     params = G.init(jax.random.key(0))
+    params = jax.device_put(params)
 
-    rng = np.random.RandomState(0)
-    real = jnp.asarray(rng.randn(bs, 3, res, res).astype(np.float32))
-    mask = jnp.asarray((rng.rand(bs, 1, res, res) > 0.5).astype(np.float32))
-    z = jnp.asarray(rng.randn(bs, G.z_dim).astype(np.float32))
     key = jax.random.key(1)
 
-    x_in = jnp.concatenate([mask - 0.5, real * mask], axis=1)
+    def make_inputs(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        real = jax.random.normal(k1, (bs, 3, res, res), jnp.float32)
+        mask = (jax.random.uniform(k2, (bs, 1, res, res)) > 0.5)\
+            .astype(jnp.float32)
+        z = jax.random.normal(k3, (bs, G.z_dim), jnp.float32)
+        return jnp.concatenate([mask - 0.5, real * mask], axis=1), z
 
     @jax.jit
-    def full(params, x, z, key):
-        img = G(params, x, z, noise_mode="random", rng=key)
+    def full(params, k):
+        x, z = make_inputs(k)
+        img = G(params, x, z, noise_mode="random", rng=k)
         return img.sum()
 
     @jax.jit
-    def mapping_only(params, z):
+    def mapping_only(params, k):
+        _, z = make_inputs(k)
         ws = G.mapping(params["mapping"], z, None)
         return ws.sum()
 
     @jax.jit
-    def encoder_only(params, x, key):
-        x_global, feats = G.encoder(params["encoder"], x, rng=key)
+    def encoder_only(params, k):
+        x, _ = make_inputs(k)
+        x_global, feats = G.encoder(params["encoder"], x, rng=k)
         return x_global.sum() + sum(f.sum() for f in feats.values())
 
-    @jax.jit
-    def synthesis_only(params, x, z, key):
-        ws = G.mapping(params["mapping"], z, None)
-        x_global, feats = G.encoder(params["encoder"], x, rng=key)
-        img = G.synthesis(params["synthesis"], x_global, feats, ws,
-                          noise_mode="random", rng=key)
-        return img.sum()
-
-    t_full = timeit(full, params, x_in, z, key)
-    t_map = timeit(mapping_only, params, z)
-    t_enc = timeit(encoder_only, params, x_in, key)
-    t_syn_all = timeit(synthesis_only, params, x_in, z, key)
+    t_full = timeit(full, params, key)
+    t_map = timeit(mapping_only, params, key)
+    t_enc = timeit(encoder_only, params, key)
     print(f"bs={bs} res={res} bf16={bf16}")
-    print(f"  full fwd          : {t_full*1e3:8.2f} ms  "
+    print(f"  inputs+full fwd    : {t_full*1e3:8.2f} ms  "
           f"({bs/t_full:7.1f} img/s)")
-    print(f"  mapping           : {t_map*1e3:8.2f} ms")
-    print(f"  mapping+encoder   : {t_enc*1e3:8.2f} ms  (encoder+SHU)")
-    print(f"  map+enc+synthesis : {t_syn_all*1e3:8.2f} ms  "
-          f"(synthesis ≈ {(t_syn_all-t_enc)*1e3:.2f} ms)")
+    print(f"  inputs+mapping     : {t_map*1e3:8.2f} ms")
+    print(f"  inputs+enc(+SHU)   : {t_enc*1e3:8.2f} ms")
+    print(f"  synthesis (approx) : {(t_full-t_enc)*1e3:8.2f} ms")
 
 
-def profile_layout(bf16):
+def profile_layout(bf16, bs=16):
     """Time a 3x3 conv at representative (C, H) shapes in both layouts."""
     from jax import lax
     dt = jnp.bfloat16 if bf16 else jnp.float32
     shapes = [(512, 64), (512, 32), (256, 128), (128, 256), (64, 512)]
-    bs = 16
     print(f"layout microbench (bs={bs}, 3x3 conv, dtype={dt.__name__})")
     for C, H in shapes:
-        rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(bs, C, H, H).astype(np.float32), dtype=dt)
-        w = jnp.asarray(rng.randn(C, C, 3, 3).astype(np.float32) * 0.05,
-                        dtype=dt)
+        k = jax.random.key(0)
 
         @jax.jit
-        def conv_nchw(x, w):
+        def conv_nchw(k):
+            k1, k2 = jax.random.split(k)
+            x = jax.random.normal(k1, (bs, C, H, H), dt)
+            w = jax.random.normal(k2, (C, C, 3, 3), dt) * 0.05
             return lax.conv_general_dilated(
                 x, w, (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NCHW", "OIHW", "NCHW")).sum()
 
-        xh = jnp.transpose(x, (0, 2, 3, 1))
-        wh = jnp.transpose(w, (2, 3, 1, 0))
-
         @jax.jit
-        def conv_nhwc(xh, wh):
+        def conv_nhwc(k):
+            k1, k2 = jax.random.split(k)
+            x = jax.random.normal(k1, (bs, H, H, C), dt)
+            w = jax.random.normal(k2, (3, 3, C, C), dt) * 0.05
             return lax.conv_general_dilated(
-                xh, wh, (1, 1), [(1, 1), (1, 1)],
+                x, w, (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC")).sum()
 
-        t1 = timeit(conv_nchw, x, w)
-        t2 = timeit(conv_nhwc, xh, wh)
+        t1 = timeit(conv_nchw, k)
+        t2 = timeit(conv_nhwc, k)
         flops = 2 * bs * C * C * 9 * H * H
         print(f"  C={C:4d} H={H:4d}: NCHW {t1*1e3:7.3f} ms "
               f"({flops/t1/1e12:5.1f} TF/s) | NHWC {t2*1e3:7.3f} ms "
-              f"({flops/t2/1e12:5.1f} TF/s)")
+              f"({flops/t2/1e12:5.1f} TF/s)", flush=True)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--bs", type=int, default=32)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--layout-only", action="store_true")
     ap.add_argument("--components-only", action="store_true")
     a = ap.parse_args()
-    print("backend:", jax.default_backend(), jax.devices()[0])
+    print("backend:", jax.default_backend(), jax.devices()[0], flush=True)
     if not a.components_only:
         profile_layout(a.bf16)
     if not a.layout_only:
