@@ -175,8 +175,9 @@ class SynthesisLayer:
         noise = None
         if self.use_noise and noise_mode == "random":
             assert rng is not None, "noise_mode='random' requires an rng"
-            noise = jax.random.normal(
-                rng, (x.shape[0], 1, self.resolution, self.resolution),
+            from ..ops.noise import random_noise
+            noise = random_noise(
+                rng, x.shape[0], self.resolution,
                 dtype=jnp.float32) * params["noise_strength"]
         elif self.use_noise and noise_mode == "const":
             noise = params["noise_const"] * params["noise_strength"]

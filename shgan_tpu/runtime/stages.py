@@ -141,6 +141,12 @@ class eval_stage:
             cfgv["batch_size_per_gpu"] * n_dev)
         print_log(f"devices: {n_dev}, global eval batch: {batch_size}")
 
+        if n_dev == 1 and jax.default_backend() == "tpu" \
+                and cfgv.get("pallas_noise", True):
+            # single-chip: hardware-PRNG noise kernel (ops/noise.py)
+            from ..ops.noise import set_noise_impl
+            set_noise_impl("pallas")
+
         dataset = get_dataset(cfgv["dataset"],
                               fallback_synthetic=cfge.get("debug", False))
         formatter = get_formatter(cfgv["dataset"]["formatter"])
