@@ -12,6 +12,7 @@ accepted for compatibility and only bounds the mesh size.
 from __future__ import annotations
 
 import argparse
+import copy
 import os
 import os.path as osp
 import time
@@ -36,6 +37,17 @@ def get_args():
     p.add_argument("--dscache", type=str, default=None)  # compat
     p.add_argument("--resume_path", type=str, default=None)
     p.add_argument("--resume_itern", type=int, default=None)
+    p.add_argument("--evalnog_path", type=str, default=None,
+                   help="evaluate pre-generated images from this dir "
+                        "(no generator in the loop)")
+    p.add_argument("--dataset", type=str, default=None,
+                   help="swap in a dataset from the dataset bank")
+    p.add_argument("--model", type=str, default=None,
+                   help="swap in a generator from the model bank")
+    p.add_argument("--trainonly", action="store_true",
+                   help="drop the eval section")
+    p.add_argument("--pick", nargs="+", type=str, default=None,
+                   help="restrict eval to these unique_ids")
     return p.parse_args()
 
 
@@ -47,6 +59,23 @@ def main():
     from shgan_tpu.runtime.stages import eval_stage, train_stage
 
     cfg = experiment_cfg_bank()(args.experiment)
+
+    if args.model is not None:
+        # swap the generator from the model bank (cfg_helper.py:332-333)
+        from shgan_tpu.runtime.config import model_cfg_bank
+        cfg["model_g"] = model_cfg_bank()(args.model)
+        cfg["model"] = {"symbol": args.model.split("_")[0]}
+    if args.dataset is not None:
+        # swap datasets from the dataset bank (cfg_helper.py:335-340)
+        from shgan_tpu.runtime.config import dataset_cfg_bank
+        ds = dataset_cfg_bank()(args.dataset)
+        for sec in ("train", "eval"):
+            if cfg.get(sec) is not None:
+                cfg[sec]["dataset"] = copy.deepcopy(ds)
+    if args.trainonly:
+        cfg.pop("eval", None)
+    if args.pick is not None and cfg.get("eval") is not None:
+        cfg["eval"]["dataset"]["pick"] = list(args.pick)
 
     is_eval = args.eval is not None or cfg.get("train") is None
     if is_eval:
@@ -65,6 +94,30 @@ def main():
         cfg["eval"]["pretrained_pth"] = args.pretrained
     if args.eval_tag is not None:
         cfg["eval"]["eval_tag"] = args.eval_tag
+    if args.evalnog_path is not None:
+        # reference: --evalnog_path sets eval.dataset.gen_dir
+        # (cfg_helper.py:394-396); non-loadgen dataset types are wrapped
+        ds = cfg["eval"]["dataset"]
+        if str(ds.get("type", "")).endswith("loadgen"):
+            ds.setdefault("args", {})["gen_dir"] = args.evalnog_path
+        else:
+            ds["gen_dir"] = args.evalnog_path
+            name = ds.get("name")
+            loadgen_type = f"{ds['type']}_loadgen"
+            from shgan_tpu.data.datasets import _DATASET_REGISTRY
+            if loadgen_type in _DATASET_REGISTRY:
+                ds["type"] = loadgen_type
+                ds.setdefault("args", {})["gen_dir"] = args.evalnog_path
+            else:
+                cfg["eval"]["dataset"] = {
+                    "type": "loadgen", "name": name,
+                    "gen_dir": args.evalnog_path,
+                    "args": {"base": dict(ds), "gen_dir": args.evalnog_path},
+                    "formatter": ds.get("formatter")}
+    if args.dscache is not None:
+        for sec in ("train", "eval"):
+            if cfg.get(sec) and cfg[sec].get("dataset") is not None:
+                cfg[sec]["dataset"]["cache"] = True
     if args.resume_path is not None and cfg.get("train") is not None:
         cfg["train"]["resume_path"] = args.resume_path
         if args.resume_itern is not None:
@@ -88,6 +141,25 @@ def main():
     import yaml
     with open(osp.join(log_dir, "config.yaml"), "w") as f:
         yaml.safe_dump(_plain(cfg), f, sort_keys=False)
+
+    # code self-snapshot (cfg_helper.py:573-593): copy the framework +
+    # configs into the log dir so every run is reproducible byte-for-byte.
+    # Skipped in debug; disable with env.code_snapshot: false.
+    if not args.debug and cfg.get("env", {}).get("code_snapshot", True):
+        import shutil
+        snap = osp.join(log_dir, "code")
+        if not osp.exists(snap):
+            src_root = osp.dirname(osp.abspath(__file__))
+            for item in ("shgan_tpu", "configs", "main.py", "bench.py"):
+                src = osp.join(src_root, item)
+                dst = osp.join(snap, item)
+                if osp.isdir(src):
+                    shutil.copytree(
+                        src, dst,
+                        ignore=shutil.ignore_patterns("__pycache__"))
+                elif osp.isfile(src):
+                    os.makedirs(osp.dirname(dst), exist_ok=True)
+                    shutil.copy2(src, dst)
 
     print_log(f"experiment: {args.experiment}  stage: {section}")
     print_log(f"log_dir: {log_dir}")

@@ -61,8 +61,17 @@ def get_dataset(cfg, fallback_synthetic=False):
     for k in _DATASET_CFG_KEYS:
         if cfg.get(k) is not None and k not in args:
             args[k] = cfg[k]
+    cache = bool(args.pop("cache", None) or cfg.get("cache"))
+    pick = args.pop("pick", None) or cfg.get("pick")
     try:
-        return _DATASET_REGISTRY[typ](**args)
+        ds = _DATASET_REGISTRY[typ](**args)
+        if pick and hasattr(ds, "load_info"):
+            # restrict to given unique_ids (reference --pick /
+            # PickFileEstimator, ds_estimator.py:42-85)
+            keep = set(pick)
+            ds.load_info = [i for i in ds.load_info
+                            if i["unique_id"] in keep]
+        return CachedDataset(ds) if cache else ds
     except FileNotFoundError:
         if not fallback_synthetic:
             raise
@@ -227,6 +236,76 @@ class ImageDirDataset(_Base):
                              Image.BICUBIC)
         return {"image": _to_chw01(np.asarray(img)),
                 "unique_id": info["unique_id"]}
+
+
+class CachedDataset(_Base):
+    """In-memory element cache.
+
+    The reference's ``--dscache`` fills a *shared-memory* cross-process
+    cache with a rank-sharded loop + barrier (`ds_base.py:96-156`) because
+    its loader workers are processes; this pipeline's workers are threads
+    of the single controller, so a plain dict is already shared — the
+    whole machinery reduces to memoization.
+    """
+
+    def __init__(self, base):
+        self.base = base
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        if i not in self._cache:
+            self._cache[i] = self.base[i]
+        return self._cache[i]
+
+
+@register_dataset("loadgen")
+class LoadGenDataset(_Base):
+    """Pairs a base dataset's reals with pre-generated images from
+    ``gen_dir`` — metric evaluation without running the generator
+    (reference ``ffhqzip_loadgen``/``DoubleLoader``, `ds_ffhq.py:388-456`,
+    and ``places2_loadgen``, `ds_places2.py:237-288`; CLI
+    ``--evalnog_path``)."""
+
+    def __init__(self, base, gen_dir, exts=(".png", ".jpg", ".jpeg")):
+        self.base = get_dataset(base) if isinstance(base, dict) else base
+        self.gen_dir = gen_dir
+        self.exts = exts
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        from PIL import Image
+        el = self.base[i]
+        uid = el["unique_id"]
+        for ext in self.exts:
+            p = osp.join(self.gen_dir, uid + ext)
+            if osp.isfile(p):
+                break
+        else:
+            raise FileNotFoundError(
+                f"no generated image for {uid!r} in {self.gen_dir}")
+        gen = Image.open(p).convert("RGB")
+        el["gen"] = _to_chw01(np.asarray(gen))
+        return el
+
+
+@register_dataset("ffhqzip_loadgen")
+class FFHQZipLoadGen(LoadGenDataset):
+    def __init__(self, root_dir, gen_dir, mode="val256", try_sample=None):
+        super().__init__(FFHQZipDataset(root_dir, mode, try_sample), gen_dir)
+
+
+@register_dataset("places2_loadgen")
+class Places2LoadGen(LoadGenDataset):
+    def __init__(self, root_dir, gen_dir, mode="val", resolution=256,
+                 try_sample=None):
+        super().__init__(
+            Places2Dataset(root_dir, mode=mode, resolution=resolution,
+                           try_sample=try_sample), gen_dir)
 
 
 @register_dataset("synthetic")

@@ -149,6 +149,18 @@ class eval_stage:
 
         dataset = get_dataset(cfgv["dataset"],
                               fallback_synthetic=cfge.get("debug", False))
+
+        ds_cfg = cfgv["dataset"]
+        if (str(ds_cfg.get("type", "")).endswith("loadgen")
+                or ds_cfg.get("gen_dir")
+                or (ds_cfg.get("args") or {}).get("gen_dir")):
+            # no-generator eval of pre-generated images (reference
+            # --evalnog_path + *_loadgen datasets, ds_ffhq.py:388-456)
+            evaluator = self._build_evaluator(cfgv, cfge)
+            rv = self._eval_pregen(dataset, evaluator, batch_size, log_dir,
+                                   log_display=cfgv.get("log_display", 10))
+            return {"eval_rv": rv}
+
         formatter = get_formatter(cfgv["dataset"]["formatter"])
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh,
                             seed=seed)
@@ -170,16 +182,7 @@ class eval_stage:
                 print_log(f"demo grid written to {log_dir}/demo")
                 return {"eval_rv": None}
 
-        try:
-            evaluator = get_evaluator(cfgv["evaluator"])
-        except FileNotFoundError as e:
-            if not cfge.get("debug", False):
-                raise
-            # debug smoke: metrics that need external detector weights
-            # degrade to the weight-free ones
-            print_log(f"debug: evaluator asset missing ({e}); "
-                      "falling back to [psnr, ssim]")
-            evaluator = get_evaluator([{"type": "psnr"}, {"type": "ssim"}])
+        evaluator = self._build_evaluator(cfgv, cfge)
 
         @jax.jit
         def run_generator(params, real, mask, z, rng):
@@ -216,6 +219,48 @@ class eval_stage:
         evaluator.save(log_dir)
         evaluator.clear_data()
         return {"eval_rv": rv}
+
+    @staticmethod
+    def _build_evaluator(cfgv, cfge):
+        try:
+            return get_evaluator(cfgv["evaluator"])
+        except FileNotFoundError as e:
+            if not cfge.get("debug", False):
+                raise
+            # debug smoke: metrics that need external detector weights
+            # degrade to the weight-free ones
+            print_log(f"debug: evaluator asset missing ({e}); "
+                      "falling back to [psnr, ssim]")
+            return get_evaluator([{"type": "psnr"}, {"type": "ssim"}])
+
+    @staticmethod
+    def _eval_pregen(dataset, evaluator, batch_size, log_dir,
+                     log_display=10):
+        """Metrics over (real, pre-generated) pairs, no generator in the
+        loop — the reference's loadgen/--evalnog protocol."""
+        t0 = timeit.default_timer()
+        n = len(dataset)
+        for start in range(0, n, batch_size):
+            els = [dataset[i] for i in range(start,
+                                             min(start + batch_size, n))]
+            real = np.stack([e["image"] for e in els])       # [N,3,H,W] 0-1
+            gen = np.stack([e["gen"] for e in els])
+            uids = [e["unique_id"] for e in els]
+            evaluator.add_batch(
+                pred=gen, gt=real,
+                fake=gen * 255.0, real=real * 255.0,
+                fn=uids, valid=None)
+            idx = start // batch_size
+            if idx % log_display == log_display - 1:
+                print_log("processed.. {}, Time:{:.2f}s".format(
+                    idx + 1, timeit.default_timer() - t0))
+                t0 = timeit.default_timer()
+        evaluator.set_sample_n(n)
+        rv = evaluator.compute()
+        evaluator.one_line_summary()
+        evaluator.save(log_dir)
+        evaluator.clear_data()
+        return rv
 
 
 class train_stage:
