@@ -58,22 +58,31 @@ class SHU:
 
     def __call__(self, params, x):
         """x: [N, in_channels, input_res, input_res] →
-        {res: [N, out_channels, res, res]}."""
-        ff = jnp.fft.rfft2(x.astype(jnp.float32), norm="forward")
-        ff = spectral_shift(ff)
-        ff = jnp.concatenate([ff.real, ff.imag], axis=1)
+        {res: [N, out_channels, res, res]}.
+
+        The DFTs run as matmul-DFTs on the MXU (`..spectral.dft`) — XLA's
+        FFT op on TPU costs ~8% of the whole 512² step at these tiny
+        spectrum sizes; the matmul form is exact and nearly free.
+        """
+        from ..spectral.dft import rfft2_matmul, irfft2_matmul
+        re, im = rfft2_matmul(x.astype(jnp.float32))
+        re, im = spectral_shift(re), spectral_shift(im)
+        ff = jnp.concatenate([re, im], axis=1)
         ff = self.conv0(params["conv0"], ff)
         ff = jnp.maximum(ff, 0.0)
         ff = heterogeneous_filter_apply(params["df1"]["weight"], ff,
                                         self.cweight, self.out_channels * 2)
         oc = self.out_channels
-        ff = jax.lax.complex(ff[:, :oc], ff[:, oc:])
+        re, im = ff[:, :oc], ff[:, oc:]
 
         output = {}
         half = self.input_res // 2
         for resi in self.reslist:
-            sp = ff[:, :, half - resi // 2: half + resi // 2, 0: resi // 2 + 1]
-            sp = sp * self.gaussian_weight_map[resi][None, None]
-            sp = spectral_unshift(sp, resi)
-            output[resi] = jnp.fft.irfft2(sp, s=(resi, resi), norm="forward")
+            sl = (slice(None), slice(None),
+                  slice(half - resi // 2, half + resi // 2),
+                  slice(0, resi // 2 + 1))
+            gmap = self.gaussian_weight_map[resi][None, None]
+            sp_re = spectral_unshift(re[sl] * gmap, resi)
+            sp_im = spectral_unshift(im[sl] * gmap, resi)
+            output[resi] = irfft2_matmul(sp_re, sp_im, s=(resi, resi))
         return output
