@@ -121,7 +121,9 @@ class Discriminator:
     def __init__(self, resolution=256, ic_n=3, ch_base=16384, ch_max=512,
                  use_fp16_before_res=16, resample_filter=(1, 3, 3, 1),
                  activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
-                 mbstd_group_size=4, mbstd_c_n=1, c_dim=None, cmap_dim=None):
+                 mbstd_group_size=4, mbstd_c_n=1, c_dim=None, cmap_dim=None,
+                 remat=False):
+        self.remat = remat  # see encoder.Encoder
         log2res = int(np.log2(resolution))
         if 2 ** log2res != resolution:
             raise ValueError(resolution)
@@ -163,8 +165,11 @@ class Discriminator:
     def __call__(self, params, img, c=None):
         x = None
         for resi in self.encode_res[:-1]:
-            x, img_out = self.blocks[resi](params[f"b{resi}"], x, img)
-            img = img_out
+            blk = self.blocks[resi]
+            fn = (lambda p, x, img, blk=blk: blk(p, x, img))
+            if self.remat:
+                fn = jax.checkpoint(fn)
+            x, img = fn(params[f"b{resi}"], x, img)
         cmap = None
         if self.mapping is not None:
             cmap = self.mapping(params["mapping"], None, c)

@@ -141,7 +141,11 @@ class Encoder:
                  resample_filter=(1, 3, 3, 1),
                  activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
                  mbstd_group_size=4, mbstd_c_n=1, c_dim=None, cmap_dim=None,
-                 use_dropout=True, has_extra_final_layer=True):
+                 use_dropout=True, has_extra_final_layer=True, remat=False):
+        # remat: rematerialize each block in backward (jax.checkpoint) —
+        # trades ~1 extra forward for O(depth) less activation HBM, the
+        # TPU-native answer to training-step OOM at large batch
+        self.remat = remat
         log2res = int(np.log2(resolution))
         if 2 ** log2res != resolution:
             raise ValueError(resolution)
@@ -187,7 +191,11 @@ class Encoder:
         x = None
         feats = {}
         for resi in self.encode_res[:-1]:
-            x, feat = self.blocks[resi](params[f"b{resi}"], x, img)
+            blk = self.blocks[resi]
+            fn = (lambda p, x, img, blk=blk: blk(p, x, img))
+            if self.remat:
+                fn = jax.checkpoint(fn)
+            x, feat = fn(params[f"b{resi}"], x, img)
             img = None
             feats[resi] = feat
 

@@ -311,7 +311,9 @@ class CoModSynthesis:
     def __init__(self, w_dim=512, w0_dim=1024, resolution=256, rgb_n=3,
                  ch_base=16384, ch_max=512, use_fp16_after_res=16,
                  resample_filter=(1, 3, 3, 1),
-                 activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)"):
+                 activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
+                 remat=False):
+        self.remat = remat  # per-block jax.checkpoint (see encoder.Encoder)
         log2res = int(np.log2(resolution))
         if 2 ** log2res != resolution:
             raise ValueError(resolution)
@@ -371,9 +373,14 @@ class CoModSynthesis:
                                 noise_mode=noise_mode,
                                 rng=_layer_rng(rng, 4))
         for res, cur_ws in zip(self.block_res[1:], block_ws[1:]):
-            x, img = self.blocks[res](params[f"b{res}"], x, feats[res], img,
-                                      cur_ws, w0, noise_mode=noise_mode,
-                                      rng=_layer_rng(rng, res))
+            blk = self.blocks[res]
+            r = _layer_rng(rng, res)
+            fn = (lambda p, x, x0, img, ws_, w0_, r_, blk=blk:
+                  blk(p, x, x0, img, ws_, w0_, noise_mode=noise_mode,
+                      rng=r_))
+            if self.remat:
+                fn = jax.checkpoint(fn)
+            x, img = fn(params[f"b{res}"], x, feats[res], img, cur_ws, w0, r)
         return img
 
 

@@ -286,8 +286,20 @@ class train_stage:
         pipe = TrainPipeline(dataset, formatter, batch_size, mesh=mesh,
                              seed=seed)
 
-        G = get_model(cfg["model_g"])
-        D = get_model(cfg["model_d"])
+        cfg_g, cfg_d = cfg["model_g"], cfg["model_d"]
+        if cfgt.get("remat", False):
+            # opt-in per-block rematerialization for memory-bound configs.
+            # Measured on v5e: saves activation HBM on the main phases but
+            # slows them ~25%, and interacts badly with the double-backprop
+            # regularization phases — prefer smaller per-chip batch first.
+            cfg_g, cfg_d = copy.deepcopy(cfg_g), copy.deepcopy(cfg_d)
+            for sub in ("encoder", "synthesis"):
+                sub_cfg = (cfg_g.get("args") or {}).get(sub)
+                if isinstance(sub_cfg, dict):
+                    sub_cfg.setdefault("args", {})["remat"] = True
+            cfg_d.setdefault("args", {})["remat"] = True
+        G = get_model(cfg_g)
+        D = get_model(cfg_d)
         tc = TrainConfig(**(cfgt.get("loss_kwargs") or {}))
         state = init_train_state(G, D, jax.random.key(seed), tc)
         state = jax.device_put(state, replicated(mesh))
@@ -319,6 +331,16 @@ class train_stage:
         profile_dir = (cfgt.get("profile_dir")
                        or os.environ.get("SHGAN_PROFILE_DIR"))
         profile_at = 8 if profile_dir else -1
+
+        # nested eval-in-train + best-checkpoint tracking (the reference's
+        # generic trainer, utils.py:39-221: periodic eval, is_better compare,
+        # '-best' save)
+        eval_every = cfgt.get("eval_every_kimg")
+        nested_eval = None
+        if eval_every and cfg.get("eval"):
+            nested_eval = self._make_nested_eval(cfg, cfge, G, mesh)
+        best_metric = None
+        next_eval = eval_every * 1000 if eval_every else None
 
         key = jax.random.key(seed + 1)
         it = iter(pipe)
@@ -363,6 +385,21 @@ class train_stage:
                         means.get("loss_d", float("nan"))))
                 tick_start = cur_nimg
                 cur_tick += 1
+                if nested_eval is not None and cur_nimg >= next_eval:
+                    next_eval += eval_every * 1000
+                    name, value, higher_better = nested_eval(
+                        state["params_gema"])
+                    logger.accumulate({f"eval_{name}": value})
+                    print_log(f"nested eval @ {cur_nimg/1e3:.1f} kimg: "
+                              f"{name}={value:.4f}")
+                    improved = best_metric is None or (
+                        value != best_metric
+                        and (value > best_metric) == higher_better)
+                    if improved:
+                        best_metric = value
+                        self.save_snapshot(state, log_dir, cur_nimg,
+                                           tag="best")
+                        print_log(f"new best {name}={value:.4f}")
                 if cur_tick % snapshot_ticks == 0:
                     self.save_snapshot(state, log_dir, cur_nimg)
         logger.close()
@@ -370,9 +407,57 @@ class train_stage:
         return {"state": state}
 
     @staticmethod
-    def save_snapshot(state, log_dir, cur_nimg):
+    def save_snapshot(state, log_dir, cur_nimg, tag=None):
         from ..checkpoint.orbax_io import save_checkpoint
-        path = osp.join(log_dir, "weight",
-                        "network-snapshot-{:06d}".format(cur_nimg // 1000))
+        name = ("network-snapshot-{}".format(tag) if tag else
+                "network-snapshot-{:06d}".format(cur_nimg // 1000))
+        path = osp.join(log_dir, "weight", name)
         save_checkpoint(path, state)
         print_log(f"saved snapshot {path}")
+
+    @staticmethod
+    def _make_nested_eval(cfg, cfge, G, mesh):
+        """Build a G_ema → (metric_name, value, higher_better) functor over
+        a small eval subset (weight-free metrics only — the in-train eval of
+        the reference's generic trainer)."""
+        cfgv = copy.deepcopy(cfg["eval"])
+        samples = cfgv.get("nested_eval_samples", 64)
+        if cfgv.get("dataset") is not None:
+            cfgv["dataset"]["try_sample"] = samples
+        dataset = get_dataset(cfgv["dataset"],
+                              fallback_synthetic=cfge.get("debug", False))
+        formatter = get_formatter(cfgv["dataset"]["formatter"])
+        batch_size = cfgv.get("batch_size") or (
+            cfgv.get("batch_size_per_gpu", 4) * mesh.devices.size)
+        pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh)
+        metric = cfgv.get("nested_eval_metric", "psnr")
+        higher_better = metric in ("psnr", "ssim", "is", "precision",
+                                   "recall")
+        seed = cfge.get("rnd_seed", 0) or 0
+
+        @jax.jit
+        def fwd(params, real, mask, z, rng):
+            x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
+            img = G(params, x, z, noise_mode="random", rng=rng)
+            combined = real * mask + img * (1 - mask)
+            return jnp.clip(combined * 127.5 + 127.5, 0, 255)
+
+        def run(params_gema):
+            evaluator = get_evaluator([{"type": metric}])
+            key = jax.random.key(seed + 12345)
+            for real, mask, valid, uids in pipe:
+                key, kz, kn = jax.random.split(key, 3)
+                z = jax.random.normal(kz, (real.shape[0], G.z_dim))
+                fake = np.asarray(fwd(params_gema, real, mask, z, kn))
+                real_np = np.asarray(real)
+                evaluator.add_batch(pred=fake / 255.0,
+                                    gt=(real_np + 1) / 2,
+                                    fake=fake, real=real_np * 127.5 + 127.5,
+                                    fn=uids, valid=valid)
+            evaluator.set_sample_n(len(dataset))
+            rv = evaluator.compute()
+            evaluator.clear_data()
+            value = float(rv[metric] if isinstance(rv, dict) else rv)
+            return metric, value, higher_better
+
+        return run

@@ -40,8 +40,19 @@ def _tiny_cfg(log_dir):
         "env": {"rnd_seed": 0, "debug": True, "mesh_devices": 2},
         "model_g": model_g,
         "model_d": model_d,
+        "eval": {
+            "batch_size": 8,
+            "dataset": {"type": "synthetic",
+                        "resolution": RES, "length": 8,
+                        "formatter": {
+                            "type": "RandomMaskFormatter",
+                            "args": {"mask_resolution": RES,
+                                     "random_flip": False}}},
+            "nested_eval_samples": 8,
+        },
         "train": {
             "log_dir": log_dir,
+            "eval_every_kimg": 0.016,  # nested eval every 2 steps
             "batch_size": 8,           # divisible by the 8-device test mesh
             "total_kimg": 0.048,       # 48 images = 6 steps
             "kimg_per_tick": 0.008,    # tick (host sync) every step: the
@@ -72,7 +83,9 @@ def test_train_stage_end_to_end_and_resume(tmp_path):
 
     weights = sorted(os.listdir(osp.join(log1, "weight")))
     assert weights, "no snapshot written"
-    snap = osp.join(log1, "weight", weights[-1])
+    assert "network-snapshot-best" in weights, weights  # nested eval ran
+    snap = osp.join(log1, "weight",
+                    [w for w in weights if w != "network-snapshot-best"][-1])
 
     # resume into a second run dir and train a little further
     log2 = str(tmp_path / "run2")
