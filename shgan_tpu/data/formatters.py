@@ -80,6 +80,49 @@ class LamaMaskFormatter:
         return x, mask.astype(np.float32), element["unique_id"]
 
 
+@register_formatter("FreeFormMaskFormatter")
+class FreeFormMaskFormatter(RandomMaskFormatter):
+    """Places2 freeform-mask variant — same recipe, 'resolution' arg name
+    (reference FreeFormMaskFormatter, ds_places2.py:213-229)."""
+
+    def __init__(self, random_flip=True, resolution=512, hole_range=(0, 1),
+                 impl="auto"):
+        super().__init__(random_flip=random_flip, mask_resolution=resolution,
+                         hole_range=hole_range, impl=impl)
+
+
+@register_formatter("AdvInpaintingFormatter")
+class AdvInpaintingFormatter:
+    """Random scale ([1, ≥1.2]× bicubic) + random crop augmentation + a
+    freeform mask (reference AdvInpaintingFormatter,
+    ds_places2.py:183-207) — the Places2 training formatter."""
+
+    def __init__(self, resolution=512, hole_range=(0, 1), impl="auto"):
+        self.resolution = resolution
+        self._mask = RandomMaskFormatter(random_flip=False,
+                                         mask_resolution=resolution,
+                                         hole_range=hole_range, impl=impl)
+
+    def __call__(self, element):
+        from PIL import Image
+        x = element["image"]                       # CHW in [0, 1]
+        _, oh, ow = x.shape
+        s = self.resolution
+        nh = np.random.randint(s, max(oh, int(s * 1.2)) + 1)
+        nw = np.random.randint(s, max(ow, int(s * 1.2)) + 1)
+        ch = np.random.randint(0, nh - s + 1)
+        cw = np.random.randint(0, nw - s + 1)
+        img = Image.fromarray(
+            (x.transpose(1, 2, 0) * 255).astype(np.uint8))
+        img = img.resize((nw, nh), Image.BICUBIC)
+        x = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+        x = x[:, ch:ch + s, cw:cw + s]
+        x = (x - 0.5) * 2
+        _, mask, _ = self._mask({"image": (x + 1) / 2,
+                                 "unique_id": element["unique_id"]})
+        return x.astype(np.float32), mask, element["unique_id"]
+
+
 @register_formatter("CenterMaskFormatter")
 class CenterMaskFormatter:
     """Center-square hole (reference CenterMaskFormatter,

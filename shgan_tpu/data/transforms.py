@@ -1,0 +1,127 @@
+"""Element-transform registry — composable pre-formatter pipelines.
+
+Reference: the loader/transform registries of the data factory
+(`/root/reference/lib/data_factory/common/ds_transform.py:22-137`,
+``ds_loader.py:23-95``): YAML lists of named transforms applied to the
+element dict between loading and formatting.  Here loading/decoding lives in
+the dataset classes (zip/dir walk + PNG decode), so the transform pipeline
+is a plain ``element → element`` compose over the decoded dict, configured
+as ``dataset: {transforms: [{type, args}, ...]}``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_TRANSFORM_REGISTRY = {}
+
+
+def register_transform(name):
+    def wrap(cls):
+        _TRANSFORM_REGISTRY[name] = cls
+        return cls
+    return wrap
+
+
+def get_transforms(cfg_list):
+    """cfg_list: list of {'type': name, 'args': {...}} (or names) →
+    a single element→element callable (identity for empty/None)."""
+    if not cfg_list:
+        return lambda el: el
+    ts = []
+    for c in cfg_list:
+        if isinstance(c, str):
+            ts.append(_TRANSFORM_REGISTRY[c]())
+        else:
+            ts.append(_TRANSFORM_REGISTRY[c["type"]](
+                **dict(c.get("args") or {})))
+
+    def compose(el):
+        for t in ts:
+            el = t(el)
+        return el
+    return compose
+
+
+def wrap_formatter(formatter, transforms_cfg):
+    """Compose a transforms pipeline in front of a formatter."""
+    if not transforms_cfg:
+        return formatter
+    t = get_transforms(transforms_cfg)
+    return lambda el: formatter(t(el))
+
+
+def _to_pil(img_chw01):
+    from PIL import Image
+    return Image.fromarray(
+        (np.clip(img_chw01, 0, 1).transpose(1, 2, 0) * 255)
+        .astype(np.uint8))
+
+
+def _from_pil(img):
+    return np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+
+
+@register_transform("Resize")
+class Resize:
+    """Bicubic resize to a square resolution (the FixResolutionLoader role,
+    ds_places2.py:91-103)."""
+
+    def __init__(self, resolution, method="bicubic"):
+        self.resolution = resolution
+        self.method = method
+
+    def __call__(self, el):
+        from PIL import Image
+        img = _to_pil(el["image"])
+        if img.size != (self.resolution, self.resolution):
+            m = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+                 "nearest": Image.NEAREST, "lanczos": Image.LANCZOS}
+            img = img.resize((self.resolution, self.resolution),
+                             m[self.method])
+        el = dict(el)
+        el["image"] = _from_pil(img)
+        return el
+
+
+@register_transform("CenterCrop")
+class CenterCrop:
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, el):
+        x = el["image"]
+        _, h, w = x.shape
+        s = self.size
+        top, left = (h - s) // 2, (w - s) // 2
+        el = dict(el)
+        el["image"] = x[:, top:top + s, left:left + s]
+        return el
+
+
+@register_transform("RandomFlip")
+class RandomFlip:
+    """Horizontal flip with probability p (transform-level counterpart of
+    the formatters' random_flip)."""
+
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, el):
+        if np.random.rand() < self.p:
+            el = dict(el)
+            el["image"] = el["image"][:, :, ::-1].copy()
+        return el
+
+
+@register_transform("UniformNumpyType")
+class UniformNumpyType:
+    """Cast image to a numpy dtype (reference UniformNumpyType)."""
+
+    def __init__(self, dtype="float32"):
+        self.dtype = np.dtype(dtype)
+
+    def __call__(self, el):
+        el = dict(el)
+        el["image"] = np.asarray(el["image"], self.dtype)
+        return el

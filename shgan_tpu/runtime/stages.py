@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..models import get_model
 from ..data import get_dataset
 from ..data.formatters import get_formatter
+from ..data.transforms import wrap_formatter
 from ..data.pipeline import EvalPipeline, TrainPipeline
 from ..parallel import create_mesh, replicated
 from ..eval import get_evaluator
@@ -161,7 +162,9 @@ class eval_stage:
                                    log_display=cfgv.get("log_display", 10))
             return {"eval_rv": rv}
 
-        formatter = get_formatter(cfgv["dataset"]["formatter"])
+        formatter = wrap_formatter(
+            get_formatter(cfgv["dataset"]["formatter"]),
+            cfgv["dataset"].get("transforms"))
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh,
                             seed=seed)
 
@@ -282,7 +285,9 @@ class train_stage:
 
         dataset = get_dataset(cfgt["dataset"],
                               fallback_synthetic=cfge.get("debug", False))
-        formatter = get_formatter(cfgt["dataset"]["formatter"])
+        formatter = wrap_formatter(
+            get_formatter(cfgt["dataset"]["formatter"]),
+            cfgt["dataset"].get("transforms"))
         pipe = TrainPipeline(dataset, formatter, batch_size, mesh=mesh,
                              seed=seed)
 
@@ -426,7 +431,9 @@ class train_stage:
             cfgv["dataset"]["try_sample"] = samples
         dataset = get_dataset(cfgv["dataset"],
                               fallback_synthetic=cfge.get("debug", False))
-        formatter = get_formatter(cfgv["dataset"]["formatter"])
+        formatter = wrap_formatter(
+            get_formatter(cfgv["dataset"]["formatter"]),
+            cfgv["dataset"].get("transforms"))
         batch_size = cfgv.get("batch_size") or (
             cfgv.get("batch_size_per_gpu", 4) * mesh.devices.size)
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh)

@@ -1,0 +1,58 @@
+"""Transform registry + formatter additions (data/transforms.py,
+AdvInpainting/FreeForm formatters)."""
+
+import numpy as np
+
+from shgan_tpu.data.transforms import get_transforms, wrap_formatter
+from shgan_tpu.data.formatters import get_formatter
+
+
+def _el(res=40):
+    rng = np.random.RandomState(0)
+    return {"image": rng.rand(3, res, res).astype(np.float32),
+            "unique_id": "u0"}
+
+
+def test_resize_center_crop_cast():
+    t = get_transforms([
+        {"type": "Resize", "args": {"resolution": 32}},
+        {"type": "CenterCrop", "args": {"size": 16}},
+        {"type": "UniformNumpyType", "args": {"dtype": "float32"}},
+    ])
+    out = t(_el())
+    assert out["image"].shape == (3, 16, 16)
+    assert out["image"].dtype == np.float32
+    assert out["unique_id"] == "u0"
+
+
+def test_random_flip_preserves_content():
+    el = _el()
+    np.random.seed(0)
+    t = get_transforms([{"type": "RandomFlip", "args": {"p": 1.0}}])
+    out = t(el)
+    np.testing.assert_allclose(out["image"], el["image"][:, :, ::-1])
+
+
+def test_wrap_formatter_composes():
+    fmt = get_formatter({"type": "NoMaskFormatter"})
+    wrapped = wrap_formatter(fmt, [{"type": "Resize",
+                                    "args": {"resolution": 24}}])
+    x, mask, uid = wrapped(_el())
+    assert x.shape == (3, 24, 24) and mask.shape == (24, 24)
+    assert wrap_formatter(fmt, None) is fmt
+
+
+def test_freeform_and_adv_formatters():
+    np.random.seed(1)
+    fmt = get_formatter({"type": "FreeFormMaskFormatter",
+                         "args": {"resolution": 40, "random_flip": False}})
+    x, mask, _ = fmt(_el())
+    assert x.shape == (3, 40, 40) and mask.shape == (40, 40)
+    assert x.min() >= -1.001 and x.max() <= 1.001
+
+    np.random.seed(2)
+    fmt = get_formatter({"type": "AdvInpaintingFormatter",
+                         "args": {"resolution": 32}})
+    x, mask, _ = fmt(_el(48))
+    assert x.shape == (3, 32, 32) and mask.shape == (32, 32)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
