@@ -29,6 +29,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import optax
 
 from . import loss as L
@@ -81,6 +82,11 @@ class TrainConfig:
                                                      betas=(0.0, 0.99)))
     d_opt: dict = field(default_factory=lambda: dict(lr=0.002,
                                                      betas=(0.0, 0.99)))
+    # micro-batch rounds per optimizer step (reference grad accumulation,
+    # stylegan_default.py:149-156): the per-step batch is split into
+    # grad_accum sequential micro-batches whose grads are averaged — same
+    # effective batch at 1/grad_accum the activation memory
+    grad_accum: int = 1
     ema_kimg: float = 10.0
     ema_rampup: float | None = None
 
@@ -124,29 +130,35 @@ def make_train_step(G, D, cfg: TrainConfig):
     g_tx = make_optimizer(**cfg.g_opt, reg_interval=cfg.g_reg_interval)
     d_tx = make_optimizer(**cfg.d_opt, reg_interval=cfg.d_reg_interval)
 
+    A = max(int(cfg.grad_accum), 1)
+
     def train_step(state, batch, rng, ema_beta, do_greg, do_dreg):
         real, mask = batch
         real = real.astype(jnp.float32)
         mask = mask.astype(jnp.float32)
         x_in = jnp.concatenate([mask - 0.5, real * mask], axis=1)
         n = real.shape[0]
-        c = jnp.zeros((n, 0), jnp.float32)
+        assert n % A == 0, (n, A)
+        nm = n // A  # micro-batch size
         k_g, k_gpl, k_d, k_z1, k_z2, k_z3 = jax.random.split(rng, 6)
         metrics = {}
 
         # ----- G phase (Gmain [+ Greg]) -----
-        def g_loss_fn(params_g):
-            z = jax.random.normal(k_z1, (n, G.z_dim))
+        def g_loss_fn(params_g, x_in, mask, keys, pl_mean):
+            kz1, kz2, kg, kgpl = keys
+            nb = x_in.shape[0]
+            c = jnp.zeros((nb, 0), jnp.float32)
+            z = jax.random.normal(kz1, (nb, G.z_dim))
             loss_main, aux = L.g_main_loss(
-                G, D, params_g, state["params_d"], x_in, mask, z, c, k_g,
+                G, D, params_g, state["params_d"], x_in, mask, z, c, kg,
                 style_mixing_prob=cfg.style_mixing_prob)
             total = loss_main
-            new_pl_mean = state["pl_mean"]
+            new_pl_mean = pl_mean
             pl_len = jnp.zeros(())
             if do_greg:
-                z2 = jax.random.normal(k_z2, (n, G.z_dim))
+                z2 = jax.random.normal(kz2, (nb, G.z_dim))
                 loss_pl, new_pl_mean, pl_len = L.g_pl_loss(
-                    G, params_g, x_in, z2, c, k_gpl, state["pl_mean"],
+                    G, params_g, x_in, z2, c, kgpl, pl_mean,
                     pl_decay=cfg.pl_decay, pl_weight=cfg.pl_weight,
                     pl_batch_shrink=cfg.pl_batch_shrink)
                 # lazy reg: loss scaled by the interval (gain,
@@ -154,8 +166,39 @@ def make_train_step(G, D, cfg: TrainConfig):
                 total = total + loss_pl * cfg.g_reg_interval
             return total, (aux, new_pl_mean, pl_len, loss_main)
 
-        (g_total, (g_aux, new_pl_mean, pl_len, g_main)), g_grads = (
-            jax.value_and_grad(g_loss_fn, has_aux=True)(state["params_g"]))
+        g_vgrad = jax.value_and_grad(g_loss_fn, has_aux=True)
+        if A == 1:
+            keys = (k_z1, k_z2, k_g, k_gpl)
+            (_, (g_aux, new_pl_mean, pl_len, g_main)), g_grads = g_vgrad(
+                state["params_g"], x_in, mask, keys, state["pl_mean"])
+        else:
+            # sequential micro-batch rounds, grads averaged; pl_mean chains
+            # through the rounds like the reference's per-round buffer
+            def g_round(carry, inp):
+                gacc, pl_mean = carry
+                x_mb, m_mb, keys = inp
+                (_, (aux, pl_mean, pl_len, main)), grads = g_vgrad(
+                    state["params_g"], x_mb, m_mb, keys, pl_mean)
+                gacc = jax.tree.map(jnp.add, gacc, grads)
+                # scan ys can't carry None — empty-array sentinel instead
+                wa = (aux["w_avg"] if aux["w_avg"] is not None
+                      else jnp.zeros((0,)))
+                return (gacc, pl_mean), (aux["scores_fake"], pl_len, main,
+                                         wa)
+
+            split = lambda t: t.reshape((A, nm) + t.shape[1:])
+            keys = tuple(jax.random.split(k, A)
+                         for k in (k_z1, k_z2, k_g, k_gpl))
+            gacc0 = jax.tree.map(jnp.zeros_like, state["params_g"])
+            (gacc, new_pl_mean), (sf, pl_lens, mains, w_avgs) = lax.scan(
+                g_round, (gacc0, state["pl_mean"]),
+                (split(x_in), split(mask), keys))
+            g_grads = jax.tree.map(lambda t: t / A, gacc)
+            g_aux = {"scores_fake": sf.mean(),
+                     "w_avg": (None if w_avgs.shape[-1] == 0
+                               else w_avgs[-1])}
+            pl_len = pl_lens.mean()
+            g_main = mains.mean()
         g_updates, new_opt_g = g_tx.update(g_grads, state["opt_g"],
                                            state["params_g"])
         params_g = optax.apply_updates(state["params_g"], g_updates)
@@ -168,10 +211,13 @@ def make_train_step(G, D, cfg: TrainConfig):
         metrics["scores_fake_g"] = g_aux["scores_fake"]
 
         # ----- D phase (Dmain [+ Dreg]) -----
-        def d_loss_fn(params_d):
-            z = jax.random.normal(k_z3, (n, G.z_dim))
+        def d_loss_fn(params_d, x_in, mask, real, keys):
+            kz3, kd = keys
+            nb = x_in.shape[0]
+            c = jnp.zeros((nb, 0), jnp.float32)
+            z = jax.random.normal(kz3, (nb, G.z_dim))
             loss_main, aux = L.d_main_loss(
-                G, D, params_g, params_d, x_in, mask, real, z, c, k_d)
+                G, D, params_g, params_d, x_in, mask, real, z, c, kd)
             total = loss_main
             r1 = jnp.zeros(())
             if do_dreg:
@@ -180,8 +226,30 @@ def make_train_step(G, D, cfg: TrainConfig):
                 total = total + loss_r1 * cfg.d_reg_interval
             return total, (aux, r1, loss_main)
 
-        (d_total, (d_aux, r1_pen, d_main)), d_grads = (
-            jax.value_and_grad(d_loss_fn, has_aux=True)(state["params_d"]))
+        d_vgrad = jax.value_and_grad(d_loss_fn, has_aux=True)
+        if A == 1:
+            (_, (d_aux, r1_pen, d_main)), d_grads = d_vgrad(
+                state["params_d"], x_in, mask, real, (k_z3, k_d))
+        else:
+            def d_round(carry, inp):
+                dacc = carry
+                x_mb, m_mb, r_mb, keys = inp
+                (_, (aux, r1, main)), grads = d_vgrad(
+                    state["params_d"], x_mb, m_mb, r_mb, keys)
+                dacc = jax.tree.map(jnp.add, dacc, grads)
+                return dacc, (aux["scores_real"], aux["scores_fake"],
+                              r1, main)
+
+            split = lambda t: t.reshape((A, nm) + t.shape[1:])
+            keys = tuple(jax.random.split(k, A) for k in (k_z3, k_d))
+            dacc0 = jax.tree.map(jnp.zeros_like, state["params_d"])
+            dacc, (sr, sf, r1s, mains) = lax.scan(
+                d_round, dacc0, (split(x_in), split(mask), split(real),
+                                 keys))
+            d_grads = jax.tree.map(lambda t: t / A, dacc)
+            d_aux = {"scores_real": sr.mean(), "scores_fake": sf.mean()}
+            r1_pen = r1s.mean()
+            d_main = mains.mean()
         d_updates, new_opt_d = d_tx.update(d_grads, state["opt_d"],
                                            state["params_d"])
         params_d = optax.apply_updates(state["params_d"], d_updates)

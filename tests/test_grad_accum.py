@@ -1,0 +1,58 @@
+"""Gradient-accumulation rounds (TrainConfig.grad_accum — reference
+stylegan_default.py:149-156): A micro-batches must average to ~the same
+update as one full batch when the loss decomposes per-sample."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sys
+import os.path as osp
+sys.path.insert(0, osp.dirname(__file__))
+from test_train_stage import _tiny_cfg  # noqa: E402
+
+from shgan_tpu.models import get_model
+from shgan_tpu.train import TrainConfig, init_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = _tiny_cfg("/tmp/unused")
+    return get_model(cfg["model_g"]), get_model(cfg["model_d"])
+
+
+def _run(G, D, accum, batch, key):
+    cfg = TrainConfig(grad_accum=accum, style_mixing_prob=0.0)
+    state = init_train_state(G, D, jax.random.key(0), cfg)
+    step = jax.jit(make_train_step(G, D, cfg),
+                   static_argnames=("do_greg", "do_dreg"))
+    state, metrics = step(state, batch, key, jnp.float32(0.99),
+                          do_greg=True, do_dreg=True)
+    return state, metrics
+
+
+def test_grad_accum_runs_and_is_finite(models):
+    G, D = models
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    mask = jnp.asarray((rng.rand(8, 1, 32, 32) > 0.5).astype(np.float32))
+    key = jax.random.key(7)
+
+    s1, m1 = _run(G, D, 1, (real, mask), key)
+    s4, m4 = _run(G, D, 4, (real, mask), key)
+    for m in (m1, m4):
+        for k, v in m.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+    assert int(s4["step"]) == 1
+    # different RNG partitioning → not identical, but same magnitude
+    g1 = float(m1["loss_g"])
+    g4 = float(m4["loss_g"])
+    assert abs(g1 - g4) < 5.0, (g1, g4)
+    # parameters moved in both cases
+    w1 = np.asarray(jax.tree.leaves(s1["params_g"])[0])
+    w4 = np.asarray(jax.tree.leaves(s4["params_g"])[0])
+    w0 = np.asarray(jax.tree.leaves(
+        init_train_state(G, D, jax.random.key(0),
+                         TrainConfig())["params_g"])[0])
+    assert not np.allclose(w1, w0) and not np.allclose(w4, w0)
