@@ -206,6 +206,8 @@ class Places2Dataset(_Base):
 
 
 @register_dataset("imagedir")
+@register_dataset("openimages")  # OpenImagesV6 1024² (ds_openimages.py:22-173)
+@register_dataset("texture")     # texture experiments (ds_texture.py:23-268)
 class ImageDirDataset(_Base):
     """Flat/recursive image directory (the reference's imagedir/openimages
     pattern, ds_openimages.py:22-98)."""
