@@ -128,6 +128,10 @@ def main():
     section = "eval" if is_eval else "train"
     expid = (cfg[section].get("experiment_id")
              or int(time.time() * 100))
+    if args.signature:
+        # reference: signature suffixes the train run dir
+        # (cfg_helper.py:524-540)
+        expid = f"{expid}_{'_'.join(args.signature)}"
     model_sym = cfg.get("model", {}).get("symbol", "model")
     ds_name = cfg[section]["dataset"].get("name", "dataset")
     tag = cfg[section].get("eval_tag", section) if is_eval else "train"

@@ -189,12 +189,13 @@ class eval_stage:
 
         @jax.jit
         def run_generator(params, real, mask, z, rng):
-            """composite + uint8 quantize (shgan_default.py:257-262)."""
+            """composite + uint8 quantize (shgan_default.py:257-262);
+            uint8 on device — 4x less device→host readback."""
             x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
             img = G(params, x, z, noise_mode="random", rng=rng)
             img_combined = real * mask + img * (1 - mask)
             fake_u8 = jnp.clip(img_combined * 127.5 + 127.5, 0, 255)
-            return fake_u8
+            return fake_u8.astype(jnp.uint8)
 
         key = jax.random.key(seed)
         log_display = cfgv.get("log_display", 10)
@@ -203,7 +204,7 @@ class eval_stage:
             key, kz, kn = jax.random.split(key, 3)
             z = jax.random.normal(kz, (batch_size, G.z_dim))
             fake = run_generator(params, real, mask, z, kn)
-            fake_np = np.asarray(fake)
+            fake_np = np.asarray(fake).astype(np.float32)
             real_np = np.asarray(real)
             evaluator.add_batch(
                 pred=fake_np / 255.0,
