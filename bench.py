@@ -24,7 +24,46 @@ import time
 import numpy as np
 
 
+def _sweep_in_subprocesses(batches):
+    """Run one bench subprocess per batch size and merge the results.
+
+    A device OOM poisons the whole process on the tunneled TPU backend
+    (every later batch fails too), so each candidate gets its own process;
+    the cost is one jax init per size.  Returns the best JSON dict or None.
+    """
+    import subprocess
+    best = None
+    for bs in batches:
+        env = dict(os.environ, BENCH_BATCH=str(bs))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              capture_output=True, text=True, env=env)
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+            else ""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            print(f"# batch {bs} subprocess failed (rc={proc.returncode})",
+                  file=sys.stderr)
+            continue
+        if best is None or rec["value"] > best["value"]:
+            best = rec
+    return best
+
+
 def main():
+    if (os.environ.get("BENCH_DEVICE") != "cpu"
+            and not os.environ.get("BENCH_BATCH")
+            and os.environ.get("BENCH_SUBPROC", "1") == "1"):
+        # measured throughput climbs to batch 120 (343 img/s on v5e);
+        # 128 OOMs — isolate each size so a failure can't zero the rest
+        best = _sweep_in_subprocesses([120, 96])
+        if best is not None:
+            print(json.dumps(best))
+            return
+        print("# all sweep subprocesses failed; falling back in-process",
+              file=sys.stderr)
+
     if os.environ.get("BENCH_DEVICE") == "cpu":
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
         import jax
@@ -81,9 +120,9 @@ def main():
     elif on_cpu:
         batches = [2]
     else:
-        # 64 is the measured throughput peak; 128 OOMs — and an OOM can
-        # poison the device for the rest of the process, so don't probe it
-        batches = [64, 32]
+        # in-process fallback (BENCH_SUBPROC=0): stay well below the
+        # 128-batch OOM — an OOM poisons every later batch in this process
+        batches = [96, 64]
 
     rng = np.random.RandomState(0)
     best = 0.0
