@@ -325,6 +325,11 @@ class train_stage:
             from ..checkpoint.orbax_io import load_checkpoint
             state = load_checkpoint(resume_path, state)
             state = jax.device_put(state, replicated(mesh))
+            # replica consistency after host-side surgery (the reference's
+            # dead DDP hash-compare, stylegan_default.py:189-190)
+            from ..parallel import check_replicated
+            check_replicated(state["params_g"])
+            check_replicated(state["params_d"])
             cur_nimg = (cfgt.get("resume_itern") or int(state["step"])) \
                 * batch_size
             tick_start = cur_nimg
