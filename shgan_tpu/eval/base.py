@@ -43,10 +43,17 @@ def get_evaluator(cfg):
 
 class BaseEvaluator:
     symbol = "base"
+    # metrics that drive the generator themselves (PPL) set this; the eval
+    # stage then calls run_generator_metrics(G, params, seed) after the
+    # batch stream
+    needs_generator = False
 
     def __init__(self):
         self.final = {}
         self.sample_n = None
+
+    def run_generator_metrics(self, G, params, seed=0):
+        pass
 
     def set_sample_n(self, n):
         self.sample_n = n
@@ -101,6 +108,16 @@ class ComposeEvaluator:
         self.sample_n = n
         for e in self.evaluators:
             e.set_sample_n(n)
+
+    @property
+    def needs_generator(self):
+        return any(getattr(e, "needs_generator", False)
+                   for e in self.evaluators)
+
+    def run_generator_metrics(self, G, params, seed=0):
+        for i, e in enumerate(self.evaluators):
+            if getattr(e, "needs_generator", False):
+                e.run_generator_metrics(G, params, seed=seed + i)
 
     def compute(self):
         return {e.symbol: e.compute() for e in self.evaluators}

@@ -1,0 +1,96 @@
+"""Shared Inception detector for the feature-space metric family.
+
+The reference computes detector features independently per metric
+(`/root/reference/lib/evaluator/stylegan_metrics/metric_utils.py` caches by
+URL per process, but each of fid/kid/pr re-runs the forward pass over the
+generator output).  Here one :class:`InceptionDetector` is shared by every
+feature-space evaluator in a compose — the 2048-d features (and 1008-way
+probs) of a given batch array are computed ONCE and memoized by array
+identity, so ``evaluator: [fid, kid, pr, is]`` costs a single Inception
+pass per batch instead of four.
+
+Weights resolution matches the reference detector contract
+(`eva_fid.py:21`): pytorch-fid ``pt_inception-2015-12-05`` ``.pth`` via the
+``detector_weights`` arg or the ``SHGAN_TPU_INCEPTION`` env var;
+``detector_params`` injects an in-memory tree (tests).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+import jax
+
+from .inception import (inception_features, inception_features_and_probs,
+                        load_inception_params)
+
+_MEMO_SLOTS = 4  # fake + real per batch, with headroom for pregen paths
+
+
+class InceptionDetector:
+    """Jitted Inception forward with identity-memoized per-batch results.
+
+    Memo entries hold a reference to the input array, which both keys the
+    lookup (``is``) and pins the object so ``id`` reuse cannot alias."""
+
+    def __init__(self, params):
+        self.params = params
+        self.has_probs = "fc" in params
+        self._feat = jax.jit(inception_features)
+        self._feat_probs = jax.jit(inception_features_and_probs)
+        self._memo = []  # [(input_array, feat, probs_or_None)]
+
+    def _lookup(self, x, want_probs):
+        for arr, feat, probs in self._memo:
+            if arr is x and (probs is not None or not want_probs):
+                return feat, probs
+        return None
+
+    def _run(self, x, want_probs):
+        if want_probs:
+            feat, probs = self._feat_probs(self.params, x)
+            probs = np.asarray(probs, np.float64)
+        else:
+            feat, probs = self._feat(self.params, x), None
+        feat = np.asarray(feat, np.float64)
+        self._memo.append((x, feat, probs))
+        del self._memo[:-_MEMO_SLOTS]
+        return feat, probs
+
+    def features(self, x):
+        """x: uint8-valued [N, 3, H, W] → [N, 2048] float64 features."""
+        hit = self._lookup(x, want_probs=False)
+        return hit[0] if hit is not None else self._run(x, False)[0]
+
+    def features_and_probs(self, x):
+        """→ ([N, 2048] features, [N, 1008] softmax probs), both float64."""
+        hit = self._lookup(x, want_probs=True)
+        return hit if hit is not None else self._run(x, True)
+
+
+_BY_PATH = {}
+
+
+def get_detector(detector_weights=None, detector_params=None):
+    """Resolve (and cache per weights file) the shared detector.
+
+    Priority: explicit ``detector_params`` (fresh instance — test
+    injection), then ``detector_weights`` path, then ``SHGAN_TPU_INCEPTION``.
+    """
+    if detector_params is not None:
+        key = id(detector_params)
+        if key not in _BY_PATH:
+            _BY_PATH[key] = InceptionDetector(detector_params)
+        return _BY_PATH[key]
+    path = detector_weights or os.environ.get("SHGAN_TPU_INCEPTION")
+    if not (path and osp.isfile(path)):
+        raise FileNotFoundError(
+            "Inception detector weights required: pass detector_weights=, "
+            "detector_params=, or set SHGAN_TPU_INCEPTION to a pytorch-fid "
+            "pt_inception .pth")
+    path = osp.abspath(path)
+    if path not in _BY_PATH:
+        _BY_PATH[path] = InceptionDetector(load_inception_params(path))
+    return _BY_PATH[path]

@@ -174,6 +174,19 @@ def inception_features(params, x_uint8):
     return x
 
 
+def inception_features_and_probs(params, x_uint8):
+    """Like :func:`inception_features`, but also returns the 1008-way
+    softmax class probabilities from the classifier head (the reference's
+    IS input — `inception_score.py:27-29` consumes detector ``softmax``
+    outputs; the pytorch-fid graph keeps the same 1008-class fc as the
+    TF ``inception-2015-12-05`` detector)."""
+    feat = inception_features(params, x_uint8)
+    fc = params["fc"]
+    w = fc["w"].reshape(fc["w"].shape[0], -1)  # [1008, 2048] (or conv-shaped)
+    logits = feat @ w.T.astype(feat.dtype) + fc["b"].astype(feat.dtype)
+    return feat, jax.nn.softmax(logits, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # weights
 # ---------------------------------------------------------------------------
@@ -206,6 +219,11 @@ def load_inception_params(weights_path):
             params[top] = entry
         else:
             params.setdefault(top, {})[sub] = entry
+    if "fc.weight" in sd:  # classifier head (1008-way in the FID variant)
+        params["fc"] = {"w": jnp.asarray(np.asarray(sd["fc.weight"]),
+                                         jnp.float32),
+                        "b": jnp.asarray(np.asarray(sd["fc.bias"]),
+                                         jnp.float32)}
     return params
 
 
@@ -269,6 +287,8 @@ def random_inception_params(key):
             "branch3x3dbl_3a": conv(384, 384, 1, 3),
             "branch3x3dbl_3b": conv(384, 384, 3, 1),
             "branch_pool": conv(ic, 192, 1)}
+
+    spec["fc"] = conv(2048, 1008, 1, 1)  # classifier head, built as [O,I,1,1]
 
     leaves = []
 

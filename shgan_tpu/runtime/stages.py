@@ -211,12 +211,16 @@ class eval_stage:
                 gt=(real_np + 1) / 2,
                 fake=fake_np,
                 real=real_np * 127.5 + 127.5,
+                mask=np.asarray(mask),
                 fn=uids, valid=valid)
             if idx % log_display == log_display - 1:
                 print_log("processed.. {}, Time:{:.2f}s".format(
                     idx + 1, timeit.default_timer() - t0))
                 t0 = timeit.default_timer()
 
+        if getattr(evaluator, "needs_generator", False):
+            # generator-in-the-loop metrics (PPL) run after the stream
+            evaluator.run_generator_metrics(G, params, seed=seed)
         evaluator.set_sample_n(len(dataset))
         rv = evaluator.compute()
         evaluator.one_line_summary()

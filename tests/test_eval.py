@@ -174,3 +174,129 @@ def test_get_evaluator_from_cfg():
         {"type": "ssim", "args": {"window_size": 11}},
     ])
     assert isinstance(ev, ComposeEvaluator)
+
+
+# ---------------------------------------------------------------------------
+# wired feature-metric suite (kid / pr / is) + shared detector
+# ---------------------------------------------------------------------------
+
+def test_feature_metrics_registered_path(tmp_path, inception_params,
+                                         monkeypatch):
+    """evaluator: [fid, kid, pr, is] from config → one shared Inception
+    pass per batch array, all keys in result.json."""
+    from shgan_tpu.eval.detector import InceptionDetector
+
+    runs = []
+    orig_run = InceptionDetector._run
+
+    def counting_run(self, x, want_probs):
+        runs.append(want_probs)
+        return orig_run(self, x, want_probs)
+
+    monkeypatch.setattr(InceptionDetector, "_run", counting_run)
+
+    args = {"detector_params": inception_params}
+    ev = get_evaluator([
+        {"type": "fid", "args": args},
+        {"type": "kid", "args": dict(args, num_subsets=4,
+                                     max_subset_size=8)},
+        {"type": "pr", "args": args},
+        {"type": "is", "args": dict(args, num_splits=2)},
+    ])
+    rng = np.random.RandomState(2)
+    fake = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
+    real = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
+    ev.add_batch(fake=fake, real=real)
+    # fake feat, real feat, fake feat+probs — NOT 7 independent passes
+    assert len(runs) == 3
+    ev.set_sample_n(8)
+    rv = ev.compute()
+    assert np.isfinite(rv["fid"]) and np.isfinite(rv["kid"])
+    assert 0 <= rv["pr"]["precision"] <= 1 and 0 <= rv["pr"]["recall"] <= 1
+    assert rv["is"]["is_mean"] > 0
+    path = ev.save(str(tmp_path))
+    saved = json.load(open(path))
+    assert set(saved) >= {"fid", "kid", "pr", "is"}
+
+
+def test_pr_identical_sets_perfect(inception_params):
+    from shgan_tpu.eval import PREvaluator
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
+    ev = PREvaluator(detector_params=inception_params)
+    ev.add_batch(fake=imgs, real=imgs)
+    ev.set_sample_n(8)
+    rv = ev.compute()
+    assert rv["precision"] == 1.0 and rv["recall"] == 1.0
+
+
+def test_kid_shares_fid_real_cache(tmp_path, inception_params):
+    """kid reuses the <tag>_real_feat.npy cache fid wrote."""
+    from shgan_tpu.eval import KIDEvaluator
+    rng = np.random.RandomState(4)
+    fake = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
+    real = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
+    fid = FIDEvaluator(detector_params=inception_params,
+                       dsstat_cachefile_tag="sharetag",
+                       cache_dir=str(tmp_path))
+    fid.add_batch(fake=fake, real=real)
+    fid.set_sample_n(8)
+    fid.compute()
+    kid = KIDEvaluator(detector_params=inception_params,
+                       dsstat_cachefile_tag="sharetag",
+                       cache_dir=str(tmp_path), num_subsets=4,
+                       max_subset_size=8)
+    assert kid.dsstat_use_cache
+    kid.add_batch(fake=fake, real=real)
+    kid.set_sample_n(8)
+    assert np.isfinite(kid.compute())
+
+
+def test_ppl_evaluator_generator_loop():
+    """Registered PPL: contexts from add_batch, sampling loop over a tiny
+    generator, tail-filtered mean is finite and non-negative."""
+    from shgan_tpu.eval import PPLEvaluator
+    from test_train import tiny_models
+
+    G, _ = tiny_models(res=64)
+    params = G.init(jax.random.key(0))
+    lp = random_lpips_params(jax.random.key(1))
+    ev = PPLEvaluator(num_samples=8, batch_size=4, space="w",
+                      sampling="end", lpips_params=lp)
+    assert ev.needs_generator
+    rng = np.random.RandomState(5)
+    real = rng.randint(0, 255, (4, 3, 64, 64)).astype(np.float32)
+    mask = (rng.rand(4, 1, 64, 64) > 0.5).astype(np.float32)
+    ev.add_batch(real=real, mask=mask)
+    ev.run_generator_metrics(G, params, seed=0)
+    ev.set_sample_n(8)
+    ppl = ev.compute()
+    assert np.isfinite(ppl) and ppl >= 0
+
+    # z-space + full sampling path also runs
+    ev2 = PPLEvaluator(num_samples=4, batch_size=4, space="z",
+                       sampling="full", lpips_params=lp)
+    ev2.add_batch(real=real, mask=mask)
+    ev2.run_generator_metrics(G, params, seed=1)
+    assert np.isfinite(ev2.compute())
+
+
+def test_compose_generator_metric_dispatch():
+    from shgan_tpu.eval import PPLEvaluator
+    from test_train import tiny_models
+
+    G, _ = tiny_models(res=64)
+    params = G.init(jax.random.key(0))
+    lp = random_lpips_params(jax.random.key(1))
+    ev = ComposeEvaluator([PSNREvaluator(),
+                           PPLEvaluator(num_samples=4, batch_size=4,
+                                        lpips_params=lp)])
+    assert ev.needs_generator
+    rng = np.random.RandomState(6)
+    real = rng.randint(0, 255, (4, 3, 64, 64)).astype(np.float32)
+    mask = (rng.rand(4, 1, 64, 64) > 0.5).astype(np.float32)
+    ev.add_batch(pred=real / 255.0, gt=real / 255.0, real=real, mask=mask)
+    ev.run_generator_metrics(G, params, seed=0)
+    ev.set_sample_n(4)
+    rv = ev.compute()
+    assert np.isfinite(rv["ppl"])
