@@ -199,11 +199,15 @@ def _fold_bn(conv_w, bn_w, bn_b, bn_mean, bn_var):
             "b": jnp.asarray(b, jnp.float32)}
 
 
-def load_inception_params(weights_path):
-    """Load pytorch-fid / torchvision InceptionV3 weights (.pth) and fold
-    batch norms."""
-    from ..checkpoint.torch_reader import load_torch_pth
-    sd = load_torch_pth(weights_path)
+def load_inception_params(weights):
+    """Load pytorch-fid / torchvision InceptionV3 weights and fold batch
+    norms.  ``weights``: a ``.pth`` path, or an already-loaded state_dict
+    (name → array) for in-memory injection (tests, converters)."""
+    if isinstance(weights, dict):
+        sd = weights
+    else:
+        from ..checkpoint.torch_reader import load_torch_pth
+        sd = load_torch_pth(weights)
     params = {}
     names = {n.rsplit(".", 2)[0] for n in sd if ".conv.weight" in n}
     for name in names:
@@ -231,9 +235,9 @@ _A_CH = {"Mixed_5b": (192, 32), "Mixed_5c": (256, 64), "Mixed_5d": (288, 64)}
 _C_CH = {"Mixed_6b": 128, "Mixed_6c": 160, "Mixed_6d": 160, "Mixed_6e": 192}
 
 
-def random_inception_params(key):
-    """Shape-correct random parameters (for machinery tests without
-    weights)."""
+def _conv_spec():
+    """Nested {module: (out, in, kh, kw)} spec of every conv in the FID
+    graph (the pytorch-fid ``pt_inception`` topology)."""
     spec = {}
 
     def conv(i, o, kh, kw=None):
@@ -289,8 +293,51 @@ def random_inception_params(key):
             "branch_pool": conv(ic, 192, 1)}
 
     spec["fc"] = conv(2048, 1008, 1, 1)  # classifier head, built as [O,I,1,1]
+    return spec
 
-    leaves = []
+
+def inception_conv_shapes():
+    """Flat {qualified_name: (out, in, kh, kw)} of every conv (plus 'fc'),
+    qualified like the pytorch-fid state_dict (``Mixed_5b.branch1x1``)."""
+    flat = {}
+    for top, v in _conv_spec().items():
+        if isinstance(v, tuple):
+            flat[top] = v
+        else:
+            for sub, s in v.items():
+                flat[f"{top}.{sub}"] = s
+    return flat
+
+
+def random_inception_state_dict(seed=0):
+    """Shape-correct random pytorch-fid style state_dict (numpy arrays) —
+    feeds both :func:`load_inception_params` and torch oracles for
+    weight-free port-parity tests (tools/validate_fid.py)."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for name, (o, i, kh, kw) in inception_conv_shapes().items():
+        if name == "fc":
+            sd["fc.weight"] = (rng.randn(o, i) / np.sqrt(i)).astype(
+                np.float32)
+            sd["fc.bias"] = np.zeros(o, np.float32)
+            continue
+        fan_in = i * kh * kw
+        sd[f"{name}.conv.weight"] = (
+            rng.randn(o, i, kh, kw) / np.sqrt(fan_in)).astype(np.float32)
+        sd[f"{name}.bn.weight"] = (
+            0.5 + rng.rand(o) * 1.5).astype(np.float32)
+        sd[f"{name}.bn.bias"] = (rng.randn(o) * 0.1).astype(np.float32)
+        sd[f"{name}.bn.running_mean"] = (rng.randn(o) * 0.1).astype(
+            np.float32)
+        sd[f"{name}.bn.running_var"] = (
+            0.5 + rng.rand(o)).astype(np.float32)
+    return sd
+
+
+def random_inception_params(key):
+    """Shape-correct random parameters (for machinery tests without
+    weights)."""
+    spec = _conv_spec()
 
     def build(s, key):
         if isinstance(s, tuple):
@@ -302,5 +349,4 @@ def random_inception_params(key):
         keys = jax.random.split(key, len(s))
         return {k: build(v, ki) for (k, v), ki in zip(s.items(), keys)}
 
-    del leaves
     return build(spec, key)

@@ -1,0 +1,206 @@
+"""Validate the JAX InceptionV3 FID detector against the reference one.
+
+The reference scores FID with NVIDIA's TorchScript ``inception-2015-12-05``
+detector (`/root/reference/lib/evaluator/eva_fid.py:21,206-212`); this repo
+ships a native JAX port of the same graph (pytorch-fid's ``pt_inception``
+variant, `shgan_tpu/eval/inception.py`).  This tool proves (or bounds) the
+feature agreement on fixed inputs so the FID≤±0.05 north star rests on
+measurement rather than faith.
+
+Usage (see docs/ASSETS.md for weight acquisition):
+
+    SHGAN_TPU_INCEPTION=weights/pt_inception-2015-12-05-6726825d.pth \
+    SHGAN_TPU_INCEPTION_TS=weights/inception-2015-12-05.pt \
+    python tools/validate_fid.py [--res 299 256 512] [--n 16]
+
+Checks, strongest first:
+  1. JAX port vs the SAME pt_inception weights run by torch (needs torch +
+     the .pth only): max |Δfeature| ≤ 1e-3 at every resolution.  This
+     isolates the port (conv/BN-fold/pool semantics) from resize policy.
+  2. JAX port vs the NVIDIA TorchScript graph (needs the TS .pt): reports
+     max/mean |Δfeature| per resolution.  At 299² inputs no resizing
+     happens in either graph, so this directly compares the networks; at
+     production sizes (256/512) the two resize policies (bilinear here,
+     the TF custom kernel inside the TS graph) differ and the residual is
+     reported, not asserted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fixed_batch(n, res, seed=0):
+    """Deterministic uint8 test images (smooth + noise, not pure noise, so
+    features aren't degenerate)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res
+    base = np.stack([np.sin(6.28 * (xx * (i % 5 + 1) + yy * (i // 5 + 1)))
+                     for i in range(n * 3)]).reshape(n, 3, res, res)
+    img = (base * 0.5 + 0.5) * 200 + rng.rand(n, 3, res, res) * 55
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def jax_features(x_uint8):
+    import jax.numpy as jnp
+    from shgan_tpu.eval.inception import (inception_features,
+                                          load_inception_params)
+    params = load_inception_params(os.environ["SHGAN_TPU_INCEPTION"])
+    return np.asarray(inception_features(params, jnp.asarray(
+        x_uint8.astype(np.float32))), np.float64)
+
+
+def torch_pth_features(x_uint8, sd=None):
+    """Run pt_inception weights through torch ops as an oracle — a
+    from-scratch torch graph assembled from the state_dict (mirrors the
+    pytorch-fid FIDInceptionA/C/E patches).  ``sd``: optional in-memory
+    state_dict (weight-free port-parity tests inject a random one)."""
+    import torch
+    import torch.nn.functional as F
+    if sd is None:
+        from shgan_tpu.checkpoint.torch_reader import load_torch_pth
+        sd = load_torch_pth(os.environ["SHGAN_TPU_INCEPTION"])
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    def conv_bn(x, name, stride=1, padding=0):
+        x = F.conv2d(x, sd[f"{name}.conv.weight"], None, stride, padding)
+        return F.relu(F.batch_norm(
+            x, sd[f"{name}.bn.running_mean"], sd[f"{name}.bn.running_var"],
+            sd[f"{name}.bn.weight"], sd[f"{name}.bn.bias"], False,
+            0.0, 1e-3))
+
+    def avg_exc(x):  # count_include_pad=False (FID-variant patch)
+        return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+    def block_a(x, name):
+        b1 = conv_bn(x, f"{name}.branch1x1")
+        b5 = conv_bn(conv_bn(x, f"{name}.branch5x5_1"),
+                     f"{name}.branch5x5_2", padding=2)
+        b3 = conv_bn(conv_bn(conv_bn(x, f"{name}.branch3x3dbl_1"),
+                             f"{name}.branch3x3dbl_2", padding=1),
+                     f"{name}.branch3x3dbl_3", padding=1)
+        bp = conv_bn(avg_exc(x), f"{name}.branch_pool")
+        return torch.cat([b1, b5, b3, bp], 1)
+
+    def block_b(x, name):
+        b3 = conv_bn(x, f"{name}.branch3x3", stride=2)
+        bd = conv_bn(conv_bn(conv_bn(x, f"{name}.branch3x3dbl_1"),
+                             f"{name}.branch3x3dbl_2", padding=1),
+                     f"{name}.branch3x3dbl_3", stride=2)
+        return torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+
+    def block_c(x, name):
+        b1 = conv_bn(x, f"{name}.branch1x1")
+        b7 = conv_bn(conv_bn(conv_bn(x, f"{name}.branch7x7_1"),
+                             f"{name}.branch7x7_2", padding=(0, 3)),
+                     f"{name}.branch7x7_3", padding=(3, 0))
+        bd = x
+        for i, pad in zip(range(1, 6), [0, (3, 0), (0, 3), (3, 0), (0, 3)]):
+            bd = conv_bn(bd, f"{name}.branch7x7dbl_{i}", padding=pad)
+        bp = conv_bn(avg_exc(x), f"{name}.branch_pool")
+        return torch.cat([b1, b7, bd, bp], 1)
+
+    def block_d(x, name):
+        b3 = conv_bn(conv_bn(x, f"{name}.branch3x3_1"),
+                     f"{name}.branch3x3_2", stride=2)
+        b7 = conv_bn(conv_bn(conv_bn(conv_bn(
+            x, f"{name}.branch7x7x3_1"),
+            f"{name}.branch7x7x3_2", padding=(0, 3)),
+            f"{name}.branch7x7x3_3", padding=(3, 0)),
+            f"{name}.branch7x7x3_4", stride=2)
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+    def block_e(x, name, pool):
+        b1 = conv_bn(x, f"{name}.branch1x1")
+        a = conv_bn(x, f"{name}.branch3x3_1")
+        b3 = torch.cat([conv_bn(a, f"{name}.branch3x3_2a", padding=(0, 1)),
+                        conv_bn(a, f"{name}.branch3x3_2b", padding=(1, 0))],
+                       1)
+        d = conv_bn(conv_bn(x, f"{name}.branch3x3dbl_1"),
+                    f"{name}.branch3x3dbl_2", padding=1)
+        bd = torch.cat(
+            [conv_bn(d, f"{name}.branch3x3dbl_3a", padding=(0, 1)),
+             conv_bn(d, f"{name}.branch3x3dbl_3b", padding=(1, 0))], 1)
+        bp = avg_exc(x) if pool == "avg" else F.max_pool2d(x, 3, 1, 1)
+        bp = conv_bn(bp, f"{name}.branch_pool")
+        return torch.cat([b1, b3, bd, bp], 1)
+
+    with torch.no_grad():
+        x = torch.from_numpy(x_uint8.astype(np.float32))
+        x = F.interpolate(x, size=(299, 299), mode="bilinear",
+                          align_corners=False)
+        x = x / 127.5 - 1.0
+        x = conv_bn(x, "Conv2d_1a_3x3", stride=2)
+        x = conv_bn(x, "Conv2d_2a_3x3")
+        x = conv_bn(x, "Conv2d_2b_3x3", padding=1)
+        x = F.max_pool2d(x, 3, 2)
+        x = conv_bn(x, "Conv2d_3b_1x1")
+        x = conv_bn(x, "Conv2d_4a_3x3")
+        x = F.max_pool2d(x, 3, 2)
+        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+            x = block_a(x, name)
+        x = block_b(x, "Mixed_6a")
+        for name in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+            x = block_c(x, name)
+        x = block_d(x, "Mixed_7a")
+        x = block_e(x, "Mixed_7b", "avg")
+        x = block_e(x, "Mixed_7c", "max")
+        x = x.mean(dim=(2, 3))
+    return x.numpy().astype(np.float64)
+
+
+def torchscript_features(x_uint8):
+    """The reference detector itself (eva_fid.py:206-212 call contract)."""
+    import torch
+    det = torch.jit.load(os.environ["SHGAN_TPU_INCEPTION_TS"]).eval()
+    with torch.no_grad():
+        feat = det(torch.from_numpy(x_uint8.astype(np.uint8)),
+                   return_features=True)
+    return feat.numpy().astype(np.float64)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, nargs="+", default=[299, 256, 512])
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    have_pth = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION", ""))
+    have_ts = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION_TS", ""))
+    if not have_pth:
+        print("SHGAN_TPU_INCEPTION not set/found — nothing to validate "
+              "(see docs/ASSETS.md)")
+        return 1
+
+    ok = True
+    for res in args.res:
+        x = fixed_batch(args.n, res)
+        jf = jax_features(x)
+        tf = torch_pth_features(x)
+        d = np.abs(jf - tf)
+        print(f"[pth  oracle] res {res}: max|Δ|={d.max():.3e} "
+              f"mean|Δ|={d.mean():.3e}  {'OK' if d.max() <= 1e-3 else 'FAIL'}")
+        ok &= d.max() <= 1e-3
+        if have_ts:
+            sf = torchscript_features(x)
+            ds = np.abs(jf - sf)
+            tag = "network parity" if res == 299 else "incl. resize policy"
+            print(f"[TS detector ] res {res}: max|Δ|={ds.max():.3e} "
+                  f"mean|Δ|={ds.mean():.3e}  ({tag})")
+            if res == 299:
+                ok &= ds.max() <= 1e-2
+    if not have_ts:
+        print("SHGAN_TPU_INCEPTION_TS not set — TorchScript comparison "
+              "skipped")
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
