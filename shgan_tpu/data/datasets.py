@@ -146,13 +146,16 @@ class FFHQZipDataset(_Base):
         self.load_info = info
 
     def _zip(self):
-        # one handle per worker process; re-opened lazily after fork
-        if self._zf is None or self._pid != os.getpid():
-            self._zf = zipfile.ZipFile(self.zip_path)
-            self._pid = os.getpid()
-        return self._zf
-
-    _pid = None
+        # one handle per worker THREAD (zipfile serializes concurrent reads
+        # of a shared handle on an internal lock — per-thread handles let
+        # the pipeline's decode workers actually overlap), re-opened lazily
+        # after fork
+        import threading
+        tls = self.__dict__.setdefault("_tls", threading.local())
+        if getattr(tls, "zf", None) is None or tls.pid != os.getpid():
+            tls.zf = zipfile.ZipFile(self.zip_path)
+            tls.pid = os.getpid()
+        return tls.zf
 
     def __getitem__(self, i):
         info = self.load_info[i]

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .rng import R as _R
+
 from .masks import random_mask, lama_generator
 
 _FORMATTER_REGISTRY = {}
@@ -47,13 +49,13 @@ class RandomMaskFormatter:
 
     def __call__(self, element):
         x = element["image"] * 2 - 1
-        if self.random_flip and np.random.rand() < 0.5:
+        if self.random_flip and _R.rand() < 0.5:
             x = x[:, :, ::-1].copy()
         if self._native:
             # C++ batch generator (shgan_tpu/native/src/maskgen.cpp), seeded
             # from the formatter RNG stream to stay reproducible.
             from ..native.maskgen import random_mask_batch
-            seed = int(np.random.randint(0, 2 ** 31 - 1))
+            seed = int(_R.randint(0, 2 ** 31 - 1))
             mask = random_mask_batch(1, self.mask_resolution,
                                      self.hole_range, seed=seed,
                                      num_threads=1)[0, 0]
@@ -73,7 +75,7 @@ class LamaMaskFormatter:
 
     def __call__(self, element):
         x = element["image"] * 2 - 1
-        if self.random_flip and np.random.rand() < 0.5:
+        if self.random_flip and _R.rand() < 0.5:
             x = x[:, :, ::-1].copy()
         mask = self.mask_maker(x)
         mask = 1 - mask[0]
@@ -108,10 +110,10 @@ class AdvInpaintingFormatter:
         x = element["image"]                       # CHW in [0, 1]
         _, oh, ow = x.shape
         s = self.resolution
-        nh = np.random.randint(s, max(oh, int(s * 1.2)) + 1)
-        nw = np.random.randint(s, max(ow, int(s * 1.2)) + 1)
-        ch = np.random.randint(0, nh - s + 1)
-        cw = np.random.randint(0, nw - s + 1)
+        nh = _R.randint(s, max(oh, int(s * 1.2)) + 1)
+        nw = _R.randint(s, max(ow, int(s * 1.2)) + 1)
+        ch = _R.randint(0, nh - s + 1)
+        cw = _R.randint(0, nw - s + 1)
         img = Image.fromarray(
             (x.transpose(1, 2, 0) * 255).astype(np.uint8))
         img = img.resize((nw, nh), Image.BICUBIC)

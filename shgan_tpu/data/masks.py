@@ -23,6 +23,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
+
+from .rng import R as _R
 from PIL import Image, ImageDraw
 
 
@@ -37,24 +39,24 @@ def random_brush(max_tries, s, min_num_vertex=4, max_num_vertex=18,
     H, W = s, s
     average_radius = math.sqrt(H * H + W * W) / 8
     mask = Image.new("L", (W, H), 0)
-    for _ in range(np.random.randint(max_tries)):
-        num_vertex = np.random.randint(min_num_vertex, max_num_vertex)
-        angle_min = mean_angle - np.random.uniform(0, angle_range)
-        angle_max = mean_angle + np.random.uniform(0, angle_range)
+    for _ in range(_R.randint(max_tries)):
+        num_vertex = _R.randint(min_num_vertex, max_num_vertex)
+        angle_min = mean_angle - _R.uniform(0, angle_range)
+        angle_max = mean_angle + _R.uniform(0, angle_range)
         angles = []
         vertex = []
         for i in range(num_vertex):
             if i % 2 == 0:
-                angles.append(2 * math.pi - np.random.uniform(angle_min,
+                angles.append(2 * math.pi - _R.uniform(angle_min,
                                                               angle_max))
             else:
-                angles.append(np.random.uniform(angle_min, angle_max))
+                angles.append(_R.uniform(angle_min, angle_max))
 
         h, w = mask.size
-        vertex.append((int(np.random.randint(0, w)),
-                       int(np.random.randint(0, h))))
+        vertex.append((int(_R.randint(0, w)),
+                       int(_R.randint(0, h))))
         for i in range(num_vertex):
-            r = np.clip(np.random.normal(loc=average_radius,
+            r = np.clip(_R.normal(loc=average_radius,
                                          scale=average_radius // 2),
                         0, 2 * average_radius)
             new_x = np.clip(vertex[-1][0] + r * math.cos(angles[i]), 0, w)
@@ -62,7 +64,7 @@ def random_brush(max_tries, s, min_num_vertex=4, max_num_vertex=18,
             vertex.append((int(new_x), int(new_y)))
 
         draw = ImageDraw.Draw(mask)
-        width = int(np.random.uniform(min_width, max_width))
+        width = int(_R.uniform(min_width, max_width))
         draw.line(vertex, fill=1, width=width)
         for v in vertex:
             draw.ellipse((v[0] - width // 2, v[1] - width // 2,
@@ -70,14 +72,14 @@ def random_brush(max_tries, s, min_num_vertex=4, max_num_vertex=18,
         # NOTE: the reference calls Image.transpose without assignment
         # (ds_ffhq.py:188-191) — a no-op kept out here; the effective flips
         # are the numpy ones below, which we preserve (RNG draws included).
-        if np.random.random() > 0.5:
+        if _R.random() > 0.5:
             pass
-        if np.random.random() > 0.5:
+        if _R.random() > 0.5:
             pass
     mask = np.asarray(mask, np.uint8)
-    if np.random.random() > 0.5:
+    if _R.random() > 0.5:
         mask = np.flip(mask, 0)
-    if np.random.random() > 0.5:
+    if _R.random() > 0.5:
         mask = np.flip(mask, 1)
     return mask
 
@@ -90,14 +92,14 @@ def random_mask(s, hole_range=(0, 1)):
         mask = np.ones((s, s), np.uint8)
 
         def fill(max_size):
-            w, h = np.random.randint(max_size), np.random.randint(max_size)
+            w, h = _R.randint(max_size), _R.randint(max_size)
             ww, hh = w // 2, h // 2
-            x = np.random.randint(-ww, s - w + ww)
-            y = np.random.randint(-hh, s - h + hh)
+            x = _R.randint(-ww, s - w + ww)
+            y = _R.randint(-hh, s - h + hh)
             mask[max(y, 0): min(y + h, s), max(x, 0): min(x + w, s)] = 0
 
         def multi_fill(max_tries, max_size):
-            for _ in range(np.random.randint(max_tries)):
+            for _ in range(_R.randint(max_tries)):
                 fill(max_size)
 
         multi_fill(int(10 * coef), s // 2)
@@ -167,16 +169,16 @@ def make_random_irregular_mask(shape, max_angle=4, max_len=60, max_width=20,
     import cv2
     height, width = shape
     mask = np.zeros((height, width), np.float32)
-    times = np.random.randint(min_times, max_times + 1)
+    times = _R.randint(min_times, max_times + 1)
     for i in range(times):
-        start_x = np.random.randint(width)
-        start_y = np.random.randint(height)
-        for _ in range(1 + np.random.randint(5)):
-            angle = 0.01 + np.random.randint(max_angle)
+        start_x = _R.randint(width)
+        start_y = _R.randint(height)
+        for _ in range(1 + _R.randint(5)):
+            angle = 0.01 + _R.randint(max_angle)
             if i % 2 == 0:
                 angle = 2 * 3.1415926 - angle
-            length = 10 + np.random.randint(max_len)
-            brush_w = 5 + np.random.randint(max_width)
+            length = 10 + _R.randint(max_len)
+            brush_w = 5 + _R.randint(max_width)
             end_x = np.clip((start_x + length * np.sin(angle))
                             .astype(np.int32), 0, width)
             end_y = np.clip((start_y + length * np.cos(angle))
@@ -202,12 +204,12 @@ def make_random_rectangle_mask(shape, margin=10, bbox_min_size=30,
     mask = np.zeros((height, width), np.float32)
     bbox_max_size = min(bbox_max_size, height - margin * 2,
                         width - margin * 2)
-    times = np.random.randint(min_times, max_times + 1)
+    times = _R.randint(min_times, max_times + 1)
     for _ in range(times):
-        box_width = np.random.randint(bbox_min_size, bbox_max_size)
-        box_height = np.random.randint(bbox_min_size, bbox_max_size)
-        start_x = np.random.randint(margin, width - margin - box_width + 1)
-        start_y = np.random.randint(margin, height - margin - box_height + 1)
+        box_width = _R.randint(bbox_min_size, bbox_max_size)
+        box_height = _R.randint(bbox_min_size, bbox_max_size)
+        start_x = _R.randint(margin, width - margin - box_width + 1)
+        start_y = _R.randint(margin, height - margin - box_height + 1)
         mask[start_y: start_y + box_height,
              start_x: start_x + box_width] = 1
     return mask[None, ...]
@@ -218,12 +220,12 @@ def make_random_superres_mask(shape, min_step=2, max_step=4, min_width=1,
     """Regular sub-sampling grid (lama_mask_utils.py:357-373)."""
     height, width = shape
     mask = np.zeros((height, width), np.float32)
-    step_x = np.random.randint(min_step, max_step + 1)
-    width_x = np.random.randint(min_width, min(step_x, max_width + 1))
-    offset_x = np.random.randint(0, step_x)
-    step_y = np.random.randint(min_step, max_step + 1)
-    width_y = np.random.randint(min_width, min(step_y, max_width + 1))
-    offset_y = np.random.randint(0, step_y)
+    step_x = _R.randint(min_step, max_step + 1)
+    width_x = _R.randint(min_width, min(step_x, max_width + 1))
+    offset_x = _R.randint(0, step_x)
+    step_y = _R.randint(min_step, max_step + 1)
+    width_y = _R.randint(min_width, min(step_y, max_width + 1))
+    offset_y = _R.randint(0, step_y)
     for dy in range(width_y):
         mask[offset_y + dy::step_y] = 1
     for dx in range(width_x):
@@ -284,7 +286,7 @@ class MixedMaskGenerator:
 
     def __call__(self, img, iter_i=None):
         import random as _random
-        kind = np.random.choice(len(self.probas), p=self.probas)
+        kind = _R.choice(len(self.probas), p=self.probas)
         result = self.gens[kind](tuple(img.shape[1:]))
         if self.invert_proba > 0 and _random.random() < self.invert_proba:
             result = 1 - result

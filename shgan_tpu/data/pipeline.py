@@ -1,48 +1,71 @@
-"""Host-side data pipelines with background prefetch.
+"""Host-side data pipelines with parallel background prefetch.
 
 The reference feeds GPUs with torch DataLoader worker processes
-(`/root/reference/lib/experiments/shgan_default.py:193-201`).  Here a thread
-pool decodes/masks ahead of the accelerator and batches are handed to JAX as
-mesh-sharded global arrays, so host work overlaps device compute — the
-"keep the TPUs fed" requirement of BASELINE.md.
+(`/root/reference/lib/experiments/shgan_default.py:193-201`).  Here a
+thread pool builds whole batches concurrently (PIL decode and the zip
+inflate release the GIL, so threads scale on multi-core TPU hosts without
+forking a process that holds a live TPU runtime), results are yielded in
+order, and batches are handed to JAX as mesh-sharded global arrays so host
+work overlaps device compute — the "keep the TPUs fed" requirement of
+BASELINE.md.
+
+Determinism: each batch is formatted under a :func:`~.rng.batch_rng`
+scope seeded from (pipeline seed, epoch, batch index), so samples are
+identical for any worker count or thread scheduling — the TPU-side
+equivalent of torch's deterministic per-worker seeding.
 """
 
 from __future__ import annotations
 
-import queue
-import threading
-
-import numpy as np
+import os
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 from .sampler import DataShard
 
 
-class _Prefetcher:
-    """Runs an iterable on a daemon thread pool, keeping ``depth`` batches
-    ready."""
+def default_num_threads(cap=8):
+    try:
+        n = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        n = os.cpu_count() or 1
+    return max(1, min(n, cap))
 
-    def __init__(self, make_iter, depth=4, num_threads=None):
-        self.make_iter = make_iter
+
+class _Prefetcher:
+    """Ordered parallel prefetch over ``make_batch(0..n_batches-1)``.
+
+    Up to ``window = max(depth, num_threads)`` batches are in flight on a
+    ``num_threads``-wide pool; results yield strictly in order (the window
+    bounds host memory).  ``num_threads=0`` → fully synchronous (debug).
+    """
+
+    def __init__(self, make_batch, n_batches, depth=4, num_threads=None):
+        self.make_batch = make_batch
+        self.n_batches = n_batches
         self.depth = depth
+        self.num_threads = (default_num_threads() if num_threads is None
+                            else num_threads)
 
     def __iter__(self):
-        q = queue.Queue(maxsize=self.depth)
-        stop = object()
-
-        def worker():
-            try:
-                for item in self.make_iter():
-                    q.put(item)
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        n = self.n_batches
+        if self.num_threads <= 0:
+            for b in range(n):
+                yield self.make_batch(b)
+            return
+        window = max(self.depth, self.num_threads)
+        with ThreadPoolExecutor(self.num_threads) as ex:
+            inflight = deque()
+            nxt = 0
+            while nxt < min(window, n):
+                inflight.append(ex.submit(self.make_batch, nxt))
+                nxt += 1
+            while inflight:
+                batch = inflight.popleft().result()
+                if nxt < n:
+                    inflight.append(ex.submit(self.make_batch, nxt))
+                    nxt += 1
+                yield batch
 
 
 class EvalPipeline:
@@ -50,13 +73,14 @@ class EvalPipeline:
     the reference eval protocol (shgan_default.py:191-201)."""
 
     def __init__(self, dataset, formatter, batch_size, mesh=None, depth=4,
-                 seed=0):
+                 seed=0, num_threads=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.mesh = mesh
         self.shard = DataShard(dataset, formatter, batch_size, shuffle=False,
                                extend=True, seed=seed)
-        self.prefetch = _Prefetcher(lambda: iter(self.shard), depth=depth)
+        self.prefetch = _Prefetcher(self.shard.get_batch, len(self.shard),
+                                    depth=depth, num_threads=num_threads)
 
     def __len__(self):
         return len(self.shard)
@@ -74,13 +98,14 @@ class TrainPipeline:
     like the per-epoch rank-0 randperm at ds_sampler.py:74-83)."""
 
     def __init__(self, dataset, formatter, batch_size, mesh=None, depth=4,
-                 seed=0):
+                 seed=0, num_threads=None):
         self.dataset = dataset
         self.formatter = formatter
         self.batch_size = batch_size
         self.mesh = mesh
         self.depth = depth
         self.seed = seed
+        self.num_threads = num_threads
 
     def __iter__(self):
         from ..parallel import shard_batch
@@ -88,9 +113,10 @@ class TrainPipeline:
         while True:
             shard = DataShard(self.dataset, self.formatter, self.batch_size,
                               shuffle=True, seed=self.seed + epoch,
-                              extend=False, drop_last=True)
-            for real, mask, _valid, _uids in _Prefetcher(
-                    lambda s=shard: iter(s), depth=self.depth):
+                              extend=False, drop_last=True, epoch=epoch)
+            pf = _Prefetcher(shard.get_batch, len(shard), depth=self.depth,
+                             num_threads=self.num_threads)
+            for real, mask, _valid, _uids in pf:
                 if self.mesh is not None:
                     real, mask = shard_batch((real, mask), self.mesh)
                 yield real, mask

@@ -44,14 +44,20 @@ def shard_indices(n, shard_id=0, num_shards=1, shuffle=False, seed=0,
 class DataShard:
     """Iterable over a dataset shard in fixed-size batches with a validity
     mask; the last batch is padded by repeating the final element so shapes
-    stay static for jit."""
+    stay static for jit.
+
+    ``get_batch(b)`` is thread-safe and deterministic: each batch formats
+    under a per-(seed, epoch, batch) RNG scope (see data/rng.py), so
+    pipelines may build batches concurrently in any order."""
 
     def __init__(self, dataset, formatter, batch_size, shard_id=0,
                  num_shards=1, shuffle=False, seed=0, extend=True,
-                 drop_last=False):
+                 drop_last=False, epoch=0):
         self.dataset = dataset
         self.formatter = formatter
         self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = epoch
         self.indices, self.valid = shard_indices(
             len(dataset), shard_id, num_shards, shuffle, seed, extend)
         if drop_last:
@@ -61,20 +67,24 @@ class DataShard:
     def __len__(self):
         return -(-len(self.indices) // self.batch_size)
 
-    def __iter__(self):
+    def get_batch(self, b):
+        from .rng import batch_rng, derive_seed
         bs = self.batch_size
-        for b in range(len(self)):
-            idx = self.indices[b * bs:(b + 1) * bs]
-            val = self.valid[b * bs:(b + 1) * bs]
-            if len(idx) < bs:  # pad final batch to static shape
-                pad = bs - len(idx)
-                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-                val = np.concatenate([val, np.zeros(pad, dtype=bool)])
-            reals, masks, uids = [], [], []
+        idx = self.indices[b * bs:(b + 1) * bs]
+        val = self.valid[b * bs:(b + 1) * bs]
+        if len(idx) < bs:  # pad final batch to static shape
+            pad = bs - len(idx)
+            idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            val = np.concatenate([val, np.zeros(pad, dtype=bool)])
+        reals, masks, uids = [], [], []
+        with batch_rng(derive_seed(self.seed, b, self.epoch)):
             for i in idx:
                 r, m, u = self.formatter(self.dataset[int(i)])
                 reals.append(np.asarray(r, np.float32))
                 masks.append(np.asarray(m, np.float32))
                 uids.append(u)
-            yield (np.stack(reals), np.stack(masks)[:, None], val,
-                   uids)
+        return (np.stack(reals), np.stack(masks)[:, None], val, uids)
+
+    def __iter__(self):
+        for b in range(len(self)):
+            yield self.get_batch(b)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .rng import R as _R
+
 _TRANSFORM_REGISTRY = {}
 
 
@@ -108,7 +110,7 @@ class RandomFlip:
         self.p = p
 
     def __call__(self, el):
-        if np.random.rand() < self.p:
+        if _R.rand() < self.p:
             el = dict(el)
             el["image"] = el["image"][:, :, ::-1].copy()
         return el

@@ -126,6 +126,17 @@ def draw_demo_grid(G, params, dataset, formatter, log_dir, z_dim,
     save_image_grid(erased, osp.join(out, "erased.png"), (-1, 1), grid_size)
 
 
+def _num_workers(cfg_section, n_dev):
+    """Host pipeline worker threads from config (the reference's
+    dataset_num_workers[_per_gpu], shgan_default.py:193-201); None →
+    auto (host core count)."""
+    w = cfg_section.get("dataset_num_workers")
+    if w is None:
+        per = cfg_section.get("dataset_num_workers_per_gpu")
+        w = per * n_dev if per is not None else None
+    return w
+
+
 class eval_stage:
     """FID/LPIPS/PSNR/SSIM evaluation of a (pretrained) generator —
     the reference's production path (shgan_default.py:156-303)."""
@@ -159,14 +170,15 @@ class eval_stage:
             # --evalnog_path + *_loadgen datasets, ds_ffhq.py:388-456)
             evaluator = self._build_evaluator(cfgv, cfge)
             rv = self._eval_pregen(dataset, evaluator, batch_size, log_dir,
-                                   log_display=cfgv.get("log_display", 10))
+                                   log_display=cfgv.get("log_display", 10),
+                                   num_threads=_num_workers(cfgv, n_dev))
             return {"eval_rv": rv}
 
         formatter = wrap_formatter(
             get_formatter(cfgv["dataset"]["formatter"]),
             cfgv["dataset"].get("transforms"))
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh,
-                            seed=seed)
+                            seed=seed, num_threads=_num_workers(cfgv, n_dev))
 
         pretrained = cfgv.get("pretrained_pth")
         if (pretrained and not osp.isfile(pretrained)
@@ -243,22 +255,29 @@ class eval_stage:
 
     @staticmethod
     def _eval_pregen(dataset, evaluator, batch_size, log_dir,
-                     log_display=10):
+                     log_display=10, num_threads=None):
         """Metrics over (real, pre-generated) pairs, no generator in the
-        loop — the reference's loadgen/--evalnog protocol."""
+        loop — the reference's loadgen/--evalnog protocol.  Batches decode
+        on the prefetch pool (two PNG decodes per element)."""
+        from ..data.pipeline import _Prefetcher
         t0 = timeit.default_timer()
         n = len(dataset)
-        for start in range(0, n, batch_size):
-            els = [dataset[i] for i in range(start,
-                                             min(start + batch_size, n))]
+        n_batches = -(-n // batch_size)
+
+        def make_batch(b):
+            els = [dataset[i] for i in range(b * batch_size,
+                                             min((b + 1) * batch_size, n))]
             real = np.stack([e["image"] for e in els])       # [N,3,H,W] 0-1
             gen = np.stack([e["gen"] for e in els])
             uids = [e["unique_id"] for e in els]
+            return real, gen, uids
+
+        pf = _Prefetcher(make_batch, n_batches, num_threads=num_threads)
+        for idx, (real, gen, uids) in enumerate(pf):
             evaluator.add_batch(
                 pred=gen, gt=real,
                 fake=gen * 255.0, real=real * 255.0,
                 fn=uids, valid=None)
-            idx = start // batch_size
             if idx % log_display == log_display - 1:
                 print_log("processed.. {}, Time:{:.2f}s".format(
                     idx + 1, timeit.default_timer() - t0))
@@ -294,7 +313,7 @@ class train_stage:
             get_formatter(cfgt["dataset"]["formatter"]),
             cfgt["dataset"].get("transforms"))
         pipe = TrainPipeline(dataset, formatter, batch_size, mesh=mesh,
-                             seed=seed)
+                             seed=seed, num_threads=_num_workers(cfgt, n_dev))
 
         cfg_g, cfg_d = cfg["model_g"], cfg["model_d"]
         if cfgt.get("remat", False):

@@ -141,3 +141,61 @@ def test_eval_pipeline_prefetch():
         assert real.shape == (4, 3, 32, 32)
         n_valid += int(valid.sum())
     assert n_valid == 9
+
+
+# ---------------------------------------------------------------------------
+# parallel prefetch: ordering + scheduling-independent determinism
+# ---------------------------------------------------------------------------
+
+def test_prefetcher_ordered_parallel():
+    from shgan_tpu.data.pipeline import _Prefetcher
+    import time
+
+    def make(b):  # jittered completion order
+        time.sleep(0.002 * ((b * 7) % 5))
+        return b * 10
+
+    got = list(_Prefetcher(make, 12, depth=3, num_threads=4))
+    assert got == [b * 10 for b in range(12)]
+    # synchronous mode
+    assert list(_Prefetcher(make, 5, num_threads=0)) == [0, 10, 20, 30, 40]
+
+
+def test_datashard_parallel_determinism():
+    """Same batches (incl. random masks) for any worker count/scheduling."""
+    from shgan_tpu.data.datasets import get_dataset
+    from shgan_tpu.data.formatters import get_formatter
+    from shgan_tpu.data.sampler import DataShard
+    from shgan_tpu.data.pipeline import _Prefetcher
+
+    ds = get_dataset({"type": "synthetic",
+                      "args": {"length": 10, "resolution": 32}})
+    fmt = get_formatter({"type": "RandomMaskFormatter",
+                         "args": {"mask_resolution": 32, "impl": "numpy"}})
+    shard = DataShard(ds, fmt, batch_size=3, shuffle=True, seed=7)
+
+    serial = [shard.get_batch(b) for b in range(len(shard))]
+    parallel = list(_Prefetcher(shard.get_batch, len(shard), depth=2,
+                                num_threads=4))
+    for (r1, m1, v1, u1), (r2, m2, v2, u2) in zip(serial, parallel):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(m1, m2)  # masks too — per-batch RNG
+        np.testing.assert_array_equal(v1, v2)
+        assert u1 == u2
+
+
+def test_datashard_epoch_changes_masks():
+    from shgan_tpu.data.datasets import get_dataset
+    from shgan_tpu.data.formatters import get_formatter
+    from shgan_tpu.data.sampler import DataShard
+
+    ds = get_dataset({"type": "synthetic",
+                      "args": {"length": 4, "resolution": 32}})
+    fmt = get_formatter({"type": "RandomMaskFormatter",
+                         "args": {"mask_resolution": 32, "impl": "numpy",
+                                  "random_flip": False}})
+    a = DataShard(ds, fmt, 4, seed=1, epoch=0).get_batch(0)
+    b = DataShard(ds, fmt, 4, seed=1, epoch=1).get_batch(0)
+    c = DataShard(ds, fmt, 4, seed=1, epoch=0).get_batch(0)
+    assert not np.array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[1], c[1])
