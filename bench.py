@@ -3,13 +3,19 @@ metric) on the flagship full-size SH-GAN generator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` is null until a measured reference figure exists.
+``vs_baseline`` is computed against the *derived* reference-GPU estimate
+documented in docs/perf_baseline.md (V100 fp32, analytic-FLOPs method):
+26.2 img/s/GPU at 512².  ``detail`` carries the analytic accounting:
+``flops_per_img`` from the compiled executable's XLA cost analysis and
+``mfu`` = achieved FLOP/s ÷ chip peak (bf16).
 
 Env knobs:
   BENCH_DEVICE=cpu       force CPU (smoke mode, tiny batch)
   BENCH_RES=256|512      resolution (default 512)
   BENCH_SMALL=1          use ch_base-16384 variant
   BENCH_BATCH=N          fixed batch size (default: auto sweep)
+  BENCH_BATCHES=a,b      override the sweep candidates
+  BENCH_PEAK_TFLOPS=N    override the peak-FLOPs table (MFU denominator)
   BENCH_RNG=rbg          PRNG impl for noise keys (default threefry;
                          rbg uses the TPU-native RngBitGenerator)
 """
@@ -22,6 +28,48 @@ import sys
 import time
 
 import numpy as np
+
+
+# Reference-GPU throughput estimate at 512² (img/s per GPU), derived in
+# docs/perf_baseline.md: 240.4 GFLOP/img forward (XLA cost analysis of the
+# full-size generator) on V100 fp32 (15.7 TFLOP/s peak, the reference ships
+# fp16 OFF — comodgan.yaml:27,46) at 40% cuDNN conv efficiency.
+REF_GPU_IMG_S_512 = 26.2
+
+# Peak dense-matmul FLOP/s per chip, bf16 (fp32 for CPU has no stable peak
+# here — MFU is reported only on TPU).  Keyed by substrings of device_kind.
+_PEAK_BF16 = [
+    ("v5 lite", 197e12), ("v5e", 197e12), ("v5litepod", 197e12),
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12), ("v3", 123e12), ("v2", 46e12),
+]
+
+
+def _peak_flops():
+    import jax
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    if jax.default_backend() != "tpu":
+        return None
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _sweep_candidates(res):
+    """Batch sizes to try.  Measured on v5e: throughput climbs to 120 at
+    512² (128 OOMs).  Scale by pixel count for other resolutions, rounded
+    down to a multiple of 8 (sublane-friendly batch)."""
+    env = os.environ.get("BENCH_BATCHES")
+    if env:
+        return [int(b) for b in env.split(",") if b.strip()]
+    scale = (512 / res) ** 2
+    top = max(8, int(120 * scale) // 8 * 8)
+    return [top, max(8, int(top * 0.8) // 8 * 8)]
 
 
 def _sweep_in_subprocesses(batches):
@@ -55,9 +103,10 @@ def main():
     if (os.environ.get("BENCH_DEVICE") != "cpu"
             and not os.environ.get("BENCH_BATCH")
             and os.environ.get("BENCH_SUBPROC", "1") == "1"):
-        # measured throughput climbs to batch 120 (343 img/s on v5e);
-        # 128 OOMs — isolate each size so a failure can't zero the rest
-        best = _sweep_in_subprocesses([120, 96])
+        # isolate each candidate size in its own process so a device OOM
+        # can't poison the remaining batches
+        best = _sweep_in_subprocesses(
+            _sweep_candidates(int(os.environ.get("BENCH_RES", "512"))))
         if best is not None:
             print(json.dumps(best))
             return
@@ -112,7 +161,6 @@ def main():
     # output pixel — block_until_ready alone is not a reliable fence on
     # tunneled TPU platforms, a device→host transfer is.  The per-iteration
     # RTT (~ms) is noise against the ~100 ms step.
-    fwd = jax.jit(forward)
     iters = 2 if on_cpu else 12
 
     if os.environ.get("BENCH_BATCH"):
@@ -127,6 +175,7 @@ def main():
     rng = np.random.RandomState(0)
     best = 0.0
     best_bs = None
+    flops_per_img = None
     for bs in batches:
         try:
             real = jnp.asarray(rng.randn(bs, 3, res, res).astype(np.float32))
@@ -134,7 +183,18 @@ def main():
                 (rng.rand(bs, 1, res, res) > 0.5).astype(np.float32))
             z = jnp.asarray(rng.randn(bs, G.z_dim).astype(np.float32))
             key = jax.random.key(1, impl=os.environ.get("BENCH_RNG") or None)
-            # compile + warmup (2 full syncs)
+            k0 = jax.random.fold_in(key, 0)
+            # AOT compile so the executable's own XLA cost analysis gives
+            # the analytic FLOPs of exactly what runs (MFU numerator)
+            fwd = jax.jit(forward).lower(params, real, mask, z, k0).compile()
+            try:
+                ca = fwd.cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                fpi = float(ca["flops"]) / bs
+            except Exception:
+                fpi = None
+            # warmup (2 full syncs)
             for i in range(2):
                 np.asarray(fwd(params, real, mask, z,
                                jax.random.fold_in(key, 100 + i))[0, 0, 0, 0])
@@ -149,7 +209,7 @@ def main():
                   f"({dt / iters * 1e3:.1f} ms/step, checksum {acc})",
                   file=sys.stderr)
             if ips > best:
-                best, best_bs = ips, bs
+                best, best_bs, flops_per_img = ips, bs, fpi
         except Exception as e:  # OOM at large batch → try smaller
             print(f"# batch {bs} failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
@@ -157,14 +217,30 @@ def main():
 
     n_chips = max(jax.device_count(), 1)
     value = best / n_chips
+    detail = {"batch": best_bs, "backend": jax.default_backend(),
+              "chips": n_chips, "small": small}
+    vs_baseline = None
+    if flops_per_img is not None:
+        detail["flops_per_img"] = round(flops_per_img / 1e9, 2)  # GFLOP
+        peak = _peak_flops()
+        if peak:
+            detail["mfu"] = round(value * flops_per_img / peak, 4)
+            detail["peak_tflops"] = peak / 1e12
+        # reference-GPU estimate generalized across res: effective V100
+        # fp32 throughput 15.7 TF/s × 40% (docs/perf_baseline.md)
+        ref = 15.7e12 * 0.40 / flops_per_img
+        detail["ref_gpu_img_s_est"] = round(ref, 1)
+        if not on_cpu and not small:
+            vs_baseline = round(value / ref, 2)
+    elif res == 512 and not on_cpu and not small:
+        vs_baseline = round(value / REF_GPU_IMG_S_512, 2)
     print(json.dumps({
         "metric": f"{res}x{res} inpainted images/sec/chip"
                   + (" (cpu smoke)" if on_cpu else ""),
         "value": round(value, 3),
         "unit": "img/s/chip",
-        "vs_baseline": None,
-        "detail": {"batch": best_bs, "backend": jax.default_backend(),
-                   "chips": n_chips, "small": small},
+        "vs_baseline": vs_baseline,
+        "detail": detail,
     }))
 
 
