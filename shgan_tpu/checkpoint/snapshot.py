@@ -1,0 +1,202 @@
+"""Torch-free loader for reference training snapshots.
+
+The reference's train stage checkpoints ``network-snapshot-{kimg}.pkl``:
+a plain ``pickle.dump`` of ``{'G': <nn.Module>, 'D': <nn.Module>,
+'G_ema': <nn.Module>, 'augment_pipe': None}`` — whole torch modules, not
+state_dicts (`/root/reference/lib/experiments/stylegan_default.py:506-532`).
+Its eval stage also ingests legacy TensorFlow CoModGAN pickles (a tuple of
+``dnnlib.tflib.network.Network`` stubs, `stylegan_default.py:591-626`).
+
+This module parses both with only ``pickle`` + ``numpy``:
+
+* torch module classes are replaced by inert attribute-bag stubs; after
+  unpickling we walk ``_parameters`` / ``_buffers`` / ``_modules`` (skipping
+  ``_non_persistent_buffers_set``, i.e. exactly ``nn.Module.state_dict``
+  semantics) to produce flat ``{name: ndarray}`` state_dicts.
+* tensors inside a plain pickle serialize their storage via
+  ``torch.storage._load_from_bytes(blob)`` where ``blob`` is a legacy
+  torch.save stream: magic / protocol / sys_info pickles, the storage
+  object (a persistent id ``('storage', type, key, location, numel, ...)``),
+  the key list, then per key ``int64 numel`` + raw little-endian bytes.
+* ``dnnlib.tflib.network.Network`` stubs expose ``version`` / ``variables``
+  / ``components``; we collect variables recursively into ``{path: array}``
+  exactly like the reference's ``collect_tf_params`` (with the same
+  version-≥4 check).  The reference ships no TF→torch key remap, so neither
+  do we — callers get the raw TF parameter dict.
+
+Anything outside the allowlist (torch rebuild helpers, torch.nn / reference
+model-zoo classes, OrderedDict, numpy, builtins) refuses to unpickle.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+
+import numpy as np
+
+from .torch_reader import (_DTYPE_BY_STORAGE, _AttrDict, _StorageType,
+                           _rebuild_tensor_v2, _rebuild_parameter)
+
+_STUB_PREFIXES = ("torch.nn.", "torch.optim.", "lib.", "easydict")
+
+
+class _ModuleStub:
+    """Inert stand-in for a pickled torch module: BUILD fills __dict__."""
+
+    _origin = None  # (module, name) the stub replaced
+
+
+class _TFNetworkStub(_ModuleStub):
+    pass
+
+
+_stub_cache = {}
+
+
+def _stub_class(module, name):
+    key = (module, name)
+    if key not in _stub_cache:
+        _stub_cache[key] = type(name, (_ModuleStub,),
+                                {"_origin": key, "__module__": module})
+    return _stub_cache[key]
+
+
+def _storage_from_bytes(blob):
+    """Parse the legacy torch.save stream embedded by Tensor.__reduce_ex__
+    (torch.storage._load_from_bytes) into a flat numpy array."""
+    f = io.BytesIO(bytes(blob))
+    magic = pickle.load(f)
+    if magic != 0x1950A86A20F9469CFC6C:
+        raise pickle.UnpicklingError("bad legacy-storage magic number")
+    pickle.load(f)  # protocol_version
+    pickle.load(f)  # sys_info
+    spec = {}
+
+    class _P(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch" and name in _DTYPE_BY_STORAGE:
+                return _StorageType(name)
+            raise pickle.UnpicklingError(
+                f"refusing {module}.{name} in legacy storage")
+
+        def persistent_load(self, pid):
+            if pid[0] != "storage":
+                raise pickle.UnpicklingError(f"unknown pid {pid!r}")
+            storage_type, key, _loc, numel = pid[1], pid[2], pid[3], pid[4]
+            spec["dtype"] = storage_type.dtype
+            spec["key"] = str(key)
+            spec["numel"] = int(numel)
+            return spec
+
+    obj = _P(f).load()
+    if obj is not spec:
+        raise pickle.UnpicklingError("legacy storage stream: unexpected obj")
+    keys = pickle.load(f)
+    arrays = {}
+    for key in keys:
+        (numel,) = struct.unpack("<q", f.read(8))
+        dt = spec["dtype"] if str(key) == spec["key"] else np.dtype(np.uint8)
+        arrays[str(key)] = np.frombuffer(
+            f.read(numel * dt.itemsize), dtype=dt, count=numel)
+    return arrays[spec["key"]]
+
+
+class _SnapshotUnpickler(pickle.Unpickler):
+    stub_prefixes = _STUB_PREFIXES
+
+    def find_class(self, module, name):
+        if module == "torch._utils" and name == "_rebuild_tensor_v2":
+            return _rebuild_tensor_v2
+        if module == "torch._utils" and name == "_rebuild_parameter":
+            return _rebuild_parameter
+        if module == "torch.storage" and name == "_load_from_bytes":
+            return _storage_from_bytes
+        if module == "torch" and name in _DTYPE_BY_STORAGE:
+            return _StorageType(name)
+        if module == "torch" and name == "Size":
+            return tuple
+        if module == "collections" and name == "OrderedDict":
+            return _AttrDict
+        if module == "dnnlib.tflib.network" and name == "Network":
+            return _TFNetworkStub
+        if module.startswith(tuple(self.stub_prefixes)):
+            return _stub_class(module, name)
+        if module in ("numpy", "numpy.core.multiarray",
+                      "numpy._core.multiarray", "builtins"):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} from snapshot")
+
+
+def _module_state_dict(stub, prefix=""):
+    """nn.Module.state_dict() semantics over an unpickled module stub."""
+    out = {}
+    d = stub.__dict__
+    for k, v in (d.get("_parameters") or {}).items():
+        if v is not None:
+            out[prefix + k] = np.asarray(v)
+    skip = d.get("_non_persistent_buffers_set") or set()
+    for k, v in (d.get("_buffers") or {}).items():
+        if v is not None and k not in skip:
+            out[prefix + k] = np.asarray(v)
+    for k, v in (d.get("_modules") or {}).items():
+        if v is not None:
+            out.update(_module_state_dict(v, prefix + k + "."))
+    return out
+
+
+def _collect_tf_params(net, prefix=""):
+    """Reference collect_tf_params (stylegan_default.py:603-612)."""
+    out = {}
+    for name, value in net.__dict__.get("variables", []):
+        out[prefix + name] = np.asarray(value)
+    for name, comp in (net.__dict__.get("components") or {}).items():
+        out.update(_collect_tf_params(comp, prefix + name + "/"))
+    return out
+
+
+def load_network_snapshot(path, extra_stub_prefixes=()):
+    """Load a reference ``network-snapshot-*.pkl``.
+
+    Returns ``(data, is_tensorflow)`` mirroring the reference's
+    ``load_network_pkl``:
+
+    * torch snapshot → ``data`` is ``{'G': flat_sd, 'D': flat_sd,
+      'G_ema': flat_sd, 'augment_pipe': None}`` with flat torch-style
+      state_dicts ready for ``torch_state_dict_to_params``.
+    * legacy TF pickle (tuple of Networks ``(G, D, Gs)``) → ``data`` maps
+      the same keys to raw ``{tf_var_path: array}`` dicts (Gs → 'G_ema').
+
+    ``extra_stub_prefixes`` widens the module-class allowlist (e.g. for
+    snapshots written by a vendored copy of the model zoo under a
+    different package name).
+    """
+    with open(path, "rb") as f:
+        up = _SnapshotUnpickler(f)
+        up.stub_prefixes = _STUB_PREFIXES + tuple(extra_stub_prefixes)
+        obj = up.load()
+
+    if isinstance(obj, tuple) and obj and all(
+            isinstance(n, _TFNetworkStub) for n in obj):
+        for n in obj:
+            if n.__dict__.get("version", 0) < 4:
+                raise ValueError("TensorFlow pickle version too low")
+        names = ["G", "D", "G_ema"]
+        data = {name: _collect_tf_params(net)
+                for name, net in zip(names, obj)}
+        return data, True
+
+    if not isinstance(obj, dict):
+        raise ValueError(
+            f"unrecognized snapshot payload: {type(obj).__name__}")
+    data = {}
+    for name, val in obj.items():
+        if val is None:
+            data[name] = None
+        elif isinstance(val, _ModuleStub):
+            data[name] = _module_state_dict(val)
+        else:
+            data[name] = np.asarray(val)
+    return data, False

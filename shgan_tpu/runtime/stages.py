@@ -27,21 +27,37 @@ from ..data.transforms import wrap_formatter
 from ..data.pipeline import EvalPipeline, TrainPipeline
 from ..parallel import create_mesh, replicated
 from ..eval import get_evaluator
-from ..checkpoint import load_torch_pth, torch_state_dict_to_params
+from ..checkpoint import (load_torch_pth, torch_state_dict_to_params,
+                          load_network_snapshot)
 from .logging import print_log, ScalarLogger
 
 
-def build_generator(cfg_model, pretrained_pth=None, strict=True, seed=0):
-    """Model + params, optionally loading a reference ``.pth``
-    (shgan_default.py:221-226)."""
+def build_generator(cfg_model, pretrained_pth=None, strict=True, seed=0,
+                    snapshot_key="G_ema"):
+    """Model + params, optionally loading a reference ``.pth`` state_dict
+    (shgan_default.py:221-226) or a training-snapshot ``.pkl``
+    ``{G, D, G_ema, augment_pipe}`` container (stylegan_default.py:506-532,
+    708-716 — the reference consumes it via copy_params_and_buffers with
+    require_all=False, i.e. a non-strict merge)."""
     G = get_model(cfg_model)
     params = G.init(jax.random.key(seed))
     if pretrained_pth is not None:
         if not osp.isfile(pretrained_pth):
             raise FileNotFoundError(pretrained_pth)
-        sd = load_torch_pth(pretrained_pth)
-        loaded = torch_state_dict_to_params(sd)
-        params = _merge_params(params, loaded, strict=strict)
+        if pretrained_pth.endswith(".pkl"):
+            data, is_tf = load_network_snapshot(pretrained_pth)
+            if is_tf:
+                raise NotImplementedError(
+                    "legacy TensorFlow pickles carry tf-slash variable "
+                    "names; the reference ships no remap either "
+                    "(stylegan_default.py:591-626)")
+            sd = data[snapshot_key]
+            loaded = torch_state_dict_to_params(sd)
+            params = _merge_params(params, loaded, strict=False)
+        else:
+            sd = load_torch_pth(pretrained_pth)
+            loaded = torch_state_dict_to_params(sd)
+            params = _merge_params(params, loaded, strict=strict)
         print_log(f"Load from [{pretrained_pth}] strict_sd [{strict}]")
     return G, params
 

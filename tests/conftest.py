@@ -25,6 +25,15 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: `pytest -m quick` (< ~2.5 min) vs full (~25 min on
+    this 1-CPU box).  Every test not explicitly @pytest.mark.slow gets the
+    quick marker."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def ref():
     """Import the reference PyTorch implementation as a parity oracle.

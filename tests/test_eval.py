@@ -105,6 +105,7 @@ def inception_params():
     return random_inception_params(jax.random.key(0))
 
 
+@pytest.mark.slow
 def test_inception_feature_shape(inception_params):
     x = np.random.RandomState(0).randint(
         0, 255, (2, 3, 64, 64)).astype(np.float32)
@@ -113,6 +114,7 @@ def test_inception_feature_shape(inception_params):
     assert np.isfinite(f).all()
 
 
+@pytest.mark.slow
 def test_fid_evaluator_end_to_end(tmp_path, inception_params):
     rng = np.random.RandomState(1)
     fake = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
@@ -140,6 +142,7 @@ def test_fid_evaluator_end_to_end(tmp_path, inception_params):
     assert ev2.compute() == pytest.approx(fid, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_lpips_machinery():
     params = random_lpips_params(jax.random.key(0))
     pred, gt = _images(res=64)
@@ -180,6 +183,7 @@ def test_get_evaluator_from_cfg():
 # wired feature-metric suite (kid / pr / is) + shared detector
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_feature_metrics_registered_path(tmp_path, inception_params,
                                          monkeypatch):
     """evaluator: [fid, kid, pr, is] from config → one shared Inception
@@ -230,6 +234,7 @@ def test_pr_identical_sets_perfect(inception_params):
     assert rv["precision"] == 1.0 and rv["recall"] == 1.0
 
 
+@pytest.mark.slow
 def test_kid_shares_fid_real_cache(tmp_path, inception_params):
     """kid reuses the <tag>_real_feat.npy cache fid wrote."""
     from shgan_tpu.eval import KIDEvaluator
@@ -252,6 +257,7 @@ def test_kid_shares_fid_real_cache(tmp_path, inception_params):
     assert np.isfinite(kid.compute())
 
 
+@pytest.mark.slow
 def test_ppl_evaluator_generator_loop():
     """Registered PPL: contexts from add_batch, sampling loop over a tiny
     generator, tail-filtered mean is finite and non-negative."""
@@ -281,6 +287,7 @@ def test_ppl_evaluator_generator_loop():
     assert np.isfinite(ev2.compute())
 
 
+@pytest.mark.slow
 def test_compose_generator_metric_dispatch():
     from shgan_tpu.eval import PPLEvaluator
     from test_train import tiny_models

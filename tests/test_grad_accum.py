@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import sys
 import os.path as osp
 sys.path.insert(0, osp.dirname(__file__))

@@ -1,0 +1,193 @@
+"""Legacy training-snapshot ingestion: the reference's
+``network-snapshot-*.pkl`` is ``pickle.dump`` of whole torch nn.Modules
+(`stylegan_default.py:506-532`).  These tests write real snapshots with the
+reference's own save path (pickle of reference torch modules) and load them
+back through the torch-free unpickler."""
+
+import pickle
+
+import numpy as np
+import pytest
+import torch
+import jax
+
+from shgan_tpu.checkpoint import load_network_snapshot
+from shgan_tpu.checkpoint.snapshot import _SnapshotUnpickler
+
+ACT = "lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)"
+
+
+RES = 256  # comodgan Synthesis num_ws table needs >=256 (comodgan.py:367-372)
+
+ENC_KW = dict(resolution=RES, ic_n=4, oc_n=32, ch_base=512, ch_max=16,
+              use_fp16_before_res=None, activation=ACT,
+              mbstd_group_size=0, mbstd_c_n=0, c_dim=None, cmap_dim=None,
+              use_dropout=True, has_extra_final_layer=False)
+MAP_KW = dict(z_dim=16, c_dim=0, w_dim=16, num_ws=14, num_layers=2,
+              activation=ACT)
+SYN_KW = dict(w_dim=16, w0_dim=32, resolution=RES, rgb_n=3, ch_base=512,
+              ch_max=16, use_fp16_after_res=None, activation=ACT)
+
+
+def _tiny_ref_models(ref):
+    tm = ref.stylegan.Mapping(**MAP_KW)
+    tenc = ref.comodgan.Encoder(**ENC_KW)
+    tsyn = ref.comodgan.Synthesis(**SYN_KW)
+    G = ref.comodgan.Generator(tm, tenc, tsyn)
+    D = ref.stylegan.Discriminator(
+        resolution=RES, ic_n=4, ch_base=512, ch_max=16,
+        use_fp16_before_res=None, activation=ACT, mbstd_group_size=4,
+        mbstd_c_n=1, c_dim=None, cmap_dim=None)
+    return G, D
+
+
+def test_snapshot_roundtrip_vs_state_dict(ref, tmp_path):
+    """Exact reference save path: pickle.dump({'G','D','G_ema',
+    'augment_pipe'}) of eval'd cpu modules → every state_dict entry must
+    load back bit-identical, with no torch in the read path."""
+    G, D = _tiny_ref_models(ref)
+    import copy
+    G_ema = copy.deepcopy(G).eval()
+    snap = {"G": G.eval().requires_grad_(False).cpu(),
+            "D": D.eval().requires_grad_(False).cpu(),
+            "G_ema": G_ema.requires_grad_(False).cpu(),
+            "augment_pipe": None}
+    path = tmp_path / "network-snapshot-000042.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(snap, f)
+
+    data, is_tf = load_network_snapshot(str(path))
+    assert not is_tf
+    assert data["augment_pipe"] is None
+    for name, module in [("G", G), ("D", D), ("G_ema", G_ema)]:
+        want = {k: v.numpy() for k, v in module.state_dict().items()}
+        got = data[name]
+        assert set(got) == set(want), name
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k],
+                                          err_msg=f"{name}.{k}")
+
+
+class _BufModule(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.lin = torch.nn.Linear(3, 2)
+        self.register_buffer("keep", torch.arange(4.))
+        self.register_buffer("skip", torch.zeros(2), persistent=False)
+        self.strided = torch.nn.Parameter(
+            torch.arange(12.).reshape(3, 4).t())
+
+
+def test_snapshot_strided_and_nonpersistent(tmp_path):
+    """Strided tensors rebuild; non-persistent buffers are excluded
+    (state_dict semantics)."""
+    m = _BufModule()
+    with open(tmp_path / "s.pkl", "wb") as f:
+        pickle.dump({"G": m, "D": None, "G_ema": None,
+                     "augment_pipe": None}, f)
+    data, _ = load_network_snapshot(str(tmp_path / "s.pkl"),
+                                    extra_stub_prefixes=("tests.", "test_"))
+    want = {k: v.numpy() for k, v in m.state_dict().items()}
+    assert "skip" not in data["G"]
+    assert set(data["G"]) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(data["G"][k], want[k], err_msg=k)
+
+
+def test_snapshot_refuses_arbitrary_globals(tmp_path):
+    """A class outside the allowlist (here: a pytest-internal one) must be
+    refused at load time unless explicitly allowlisted."""
+    import pytest as pytest_mod
+    with open(tmp_path / "evil.pkl", "wb") as f:
+        pickle.dump({"G": pytest_mod.ExitCode.OK}, f)
+    with pytest.raises(pickle.UnpicklingError):
+        load_network_snapshot(str(tmp_path / "evil.pkl"))
+
+
+def test_legacy_tf_pickle_collection(tmp_path):
+    """A tuple of dnnlib.tflib.network.Network stubs → tf param dicts with
+    slash-joined names, recursing into components (reference
+    collect_tf_params, stylegan_default.py:603-612)."""
+    import sys
+    import types
+
+    # fabricate the dnnlib module hierarchy so pickling produces the same
+    # GLOBAL dnnlib.tflib.network.Network the original TF pickles carry
+    dnn = types.ModuleType("dnnlib")
+    tflib = types.ModuleType("dnnlib.tflib")
+    netmod = types.ModuleType("dnnlib.tflib.network")
+
+    class Network:
+        pass
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+    netmod.Network = Network
+    dnn.tflib = tflib
+    tflib.network = netmod
+    sys.modules.update({"dnnlib": dnn, "dnnlib.tflib": tflib,
+                        "dnnlib.tflib.network": netmod})
+    try:
+        def mknet(prefix, components=None):
+            n = Network()
+            n.version = 4
+            n.variables = [(f"{prefix}/w", np.ones((2, 2), np.float32)),
+                           (f"{prefix}/b", np.zeros(2, np.float32))]
+            n.components = components or {}
+            return n
+
+        g = mknet("G_mapping", components={"sub": mknet("inner")})
+        d = mknet("D")
+        gs = mknet("Gs")
+        path = tmp_path / "tf.pkl"
+        with open(path, "wb") as f:
+            pickle.dump((g, d, gs), f)
+
+        data, is_tf = load_network_snapshot(str(path))
+        assert is_tf
+        assert set(data) == {"G", "D", "G_ema"}
+        assert "G_mapping/w" in data["G"]
+        assert "sub/inner/w" in data["G"]
+        assert "Gs/b" in data["G_ema"]
+        np.testing.assert_array_equal(data["G"]["G_mapping/w"],
+                                      np.ones((2, 2), np.float32))
+
+        # version < 4 must be rejected (reference convert_tf check)
+        g.version = 3
+        with open(path, "wb") as f:
+            pickle.dump((g,), f)
+        with pytest.raises(ValueError):
+            load_network_snapshot(str(path))
+    finally:
+        for k in ("dnnlib", "dnnlib.tflib", "dnnlib.tflib.network"):
+            sys.modules.pop(k, None)
+
+
+def test_build_generator_from_snapshot(ref, tmp_path):
+    """End to end: eval-stage style resume from a .pkl — G_ema lands in the
+    JAX model and forward parity holds."""
+    import jax.numpy as jnp
+    from shgan_tpu.runtime.stages import build_generator
+
+    G, _ = _tiny_ref_models(ref)
+    G = G.eval()
+    path = tmp_path / "network-snapshot-best.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"G": None, "D": None, "G_ema": G,
+                     "augment_pipe": None}, f)
+
+    cfg = {"type": "comodgan_generator", "args": {
+        "mapping": {"type": "comodgan_mapping", "args": MAP_KW},
+        "encoder": {"type": "comodgan_encoder", "args": ENC_KW},
+        "synthesis": {"type": "comodgan_synthesis", "args": SYN_KW}}}
+    g, params = build_generator(cfg, str(path))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, RES, RES).astype(np.float32)
+    z = rng.randn(2, 16).astype(np.float32)
+    with torch.no_grad():
+        want = G(torch.from_numpy(x), torch.from_numpy(z),
+                 torch.zeros((2, 0)), noise_mode="const").numpy()
+    got = np.asarray(g(params, jnp.asarray(x), jnp.asarray(z),
+                       noise_mode="const"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)

@@ -57,6 +57,7 @@ def setup():
     return G, D, cfg, state
 
 
+@pytest.mark.slow
 def test_full_step_with_both_regs(setup):
     G, D, cfg, state = setup
     batch = make_batch(4, 64)
@@ -76,6 +77,7 @@ def test_full_step_with_both_regs(setup):
     assert int(new_state["step"]) == 1
 
 
+@pytest.mark.slow
 def test_main_only_step(setup):
     G, D, cfg, state = setup
     batch = make_batch(4, 64)
@@ -112,6 +114,7 @@ def test_ema_beta_schedule():
     assert b == pytest.approx(0.5 ** (32 / 10_000))
 
 
+@pytest.mark.slow
 def test_spmd_step_on_mesh(setup):
     """Full train step jitted over an 8-device mesh with the batch sharded
     on the data axis — the DDP replacement."""
@@ -134,6 +137,7 @@ def test_spmd_step_on_mesh(setup):
     assert w.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_spmd_matches_single_device(setup):
     """The sharded step must produce the same update as the unsharded one
     (determinism of the SPMD lowering)."""

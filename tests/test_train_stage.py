@@ -7,6 +7,8 @@ import os.path as osp
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 ACT = "lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)"
 RES = 32
