@@ -53,6 +53,12 @@ def get_args():
 
 def main():
     args = get_args()
+    # multi-host: join the jax.distributed cluster BEFORE any backend use
+    # (env-driven; single-process runs are untouched).  The reference's
+    # per-GPU mp.spawn + NCCL init (utils.py:304-309) becomes one JAX
+    # process per host over DCN.
+    from shgan_tpu.parallel import maybe_initialize_distributed, is_lead
+    proc_id, proc_n = maybe_initialize_distributed()
     from shgan_tpu.runtime.config import (experiment_cfg_bank,
                                           apply_debug_shrink)
     from shgan_tpu.runtime.logging import print_log, set_log_file
@@ -139,17 +145,24 @@ def main():
                        f"{model_sym}_{ds_name}", str(expid), tag)
     os.makedirs(log_dir, exist_ok=True)
     cfg[section]["log_dir"] = log_dir
-    set_log_file(osp.join(log_dir, f"{section}.log"))
+    # writer-process convention: only process 0 tees to the log file and
+    # dumps config/code (the reference's RANK==0 gating)
+    if is_lead():
+        set_log_file(osp.join(log_dir, f"{section}.log"))
+    if proc_n > 1:
+        print_log(f"process {proc_id}/{proc_n} joined the cluster")
 
     # dump the solved config for reproducibility (cfg_helper.py:566-571)
     import yaml
-    with open(osp.join(log_dir, "config.yaml"), "w") as f:
-        yaml.safe_dump(_plain(cfg), f, sort_keys=False)
+    if is_lead():
+        with open(osp.join(log_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(_plain(cfg), f, sort_keys=False)
 
     # code self-snapshot (cfg_helper.py:573-593): copy the framework +
     # configs into the log dir so every run is reproducible byte-for-byte.
     # Skipped in debug; disable with env.code_snapshot: false.
-    if not args.debug and cfg.get("env", {}).get("code_snapshot", True):
+    if not args.debug and is_lead() \
+            and cfg.get("env", {}).get("code_snapshot", True):
         import shutil
         snap = osp.join(log_dir, "code")
         if not osp.exists(snap):

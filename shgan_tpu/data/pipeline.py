@@ -68,17 +68,41 @@ class _Prefetcher:
                 yield batch
 
 
+def _process_shard():
+    """(shard_id, num_shards) = (process_index, process_count) — each host
+    builds only its own contiguous block of the global batch (SURVEY §2.3
+    DistributedSampler → per-host shard)."""
+    import jax
+    return jax.process_index(), jax.process_count()
+
+
+def _local_batch(batch_size, num_shards):
+    assert batch_size % num_shards == 0, (
+        f"global batch {batch_size} not divisible by "
+        f"{num_shards} processes")
+    return batch_size // num_shards
+
+
 class EvalPipeline:
     """Sequential (shuffle=False, extend=True) evaluation pipeline matching
-    the reference eval protocol (shgan_default.py:191-201)."""
+    the reference eval protocol (shgan_default.py:191-201).
+
+    ``batch_size`` is GLOBAL; each process formats batch_size/process_count
+    rows and the yielded (real, mask) are global mesh-sharded arrays
+    (single-host: ordinary device arrays).  valid/uids are this process's
+    local rows — exactly what :func:`~..parallel.local_rows` returns for
+    the device outputs."""
 
     def __init__(self, dataset, formatter, batch_size, mesh=None, depth=4,
                  seed=0, num_threads=None):
+        shard_id, num_shards = _process_shard()
         self.dataset = dataset
         self.batch_size = batch_size
         self.mesh = mesh
-        self.shard = DataShard(dataset, formatter, batch_size, shuffle=False,
-                               extend=True, seed=seed)
+        self.shard = DataShard(dataset, formatter,
+                               _local_batch(batch_size, num_shards),
+                               shard_id=shard_id, num_shards=num_shards,
+                               shuffle=False, extend=True, seed=seed)
         self.prefetch = _Prefetcher(self.shard.get_batch, len(self.shard),
                                     depth=depth, num_threads=num_threads)
 
@@ -86,38 +110,44 @@ class EvalPipeline:
         return len(self.shard)
 
     def __iter__(self):
-        from ..parallel import shard_batch
+        from ..parallel import local_batch_to_global
         for real, mask, valid, uids in self.prefetch:
             if self.mesh is not None:
-                real, mask = shard_batch((real, mask), self.mesh)
+                real, mask = local_batch_to_global((real, mask), self.mesh)
             yield real, mask, valid, uids
 
 
 class TrainPipeline:
     """Infinite shuffled pipeline (re-shuffles each epoch with a new seed,
-    like the per-epoch rank-0 randperm at ds_sampler.py:74-83)."""
+    like the per-epoch rank-0 randperm at ds_sampler.py:74-83).  Global
+    ``batch_size``; per-process shards as in :class:`EvalPipeline`."""
 
     def __init__(self, dataset, formatter, batch_size, mesh=None, depth=4,
                  seed=0, num_threads=None):
+        self.shard_id, self.num_shards = _process_shard()
         self.dataset = dataset
         self.formatter = formatter
         self.batch_size = batch_size
+        self.local_bs = _local_batch(batch_size, self.num_shards)
         self.mesh = mesh
         self.depth = depth
         self.seed = seed
         self.num_threads = num_threads
 
     def __iter__(self):
-        from ..parallel import shard_batch
+        from ..parallel import local_batch_to_global
         epoch = 0
         while True:
-            shard = DataShard(self.dataset, self.formatter, self.batch_size,
+            shard = DataShard(self.dataset, self.formatter, self.local_bs,
+                              shard_id=self.shard_id,
+                              num_shards=self.num_shards,
                               shuffle=True, seed=self.seed + epoch,
                               extend=False, drop_last=True, epoch=epoch)
             pf = _Prefetcher(shard.get_batch, len(shard), depth=self.depth,
                              num_threads=self.num_threads)
             for real, mask, _valid, _uids in pf:
                 if self.mesh is not None:
-                    real, mask = shard_batch((real, mask), self.mesh)
+                    real, mask = local_batch_to_global((real, mask),
+                                                       self.mesh)
                 yield real, mask
             epoch += 1

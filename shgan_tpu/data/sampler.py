@@ -46,9 +46,11 @@ class DataShard:
     mask; the last batch is padded by repeating the final element so shapes
     stay static for jit.
 
-    ``get_batch(b)`` is thread-safe and deterministic: each batch formats
-    under a per-(seed, epoch, batch) RNG scope (see data/rng.py), so
-    pipelines may build batches concurrently in any order."""
+    ``get_batch(b)`` is thread-safe and deterministic: each sample formats
+    under a per-(seed, epoch, global position) RNG scope (see data/rng.py),
+    so the stream is identical for any worker-thread count AND any shard
+    (process) count — shard p's positions are offset by its contiguous
+    block in the global order."""
 
     def __init__(self, dataset, formatter, batch_size, shard_id=0,
                  num_shards=1, shuffle=False, seed=0, extend=True,
@@ -60,6 +62,9 @@ class DataShard:
         self.epoch = epoch
         self.indices, self.valid = shard_indices(
             len(dataset), shard_id, num_shards, shuffle, seed, extend)
+        # contiguous global offset of this shard (shards are equal-length
+        # under extend=True), so per-sample RNG seeds are shard-invariant
+        self.global_offset = shard_id * len(self.indices)
         if drop_last:
             k = (len(self.indices) // batch_size) * batch_size
             self.indices, self.valid = self.indices[:k], self.valid[:k]
@@ -77,12 +82,13 @@ class DataShard:
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
             val = np.concatenate([val, np.zeros(pad, dtype=bool)])
         reals, masks, uids = [], [], []
-        with batch_rng(derive_seed(self.seed, b, self.epoch)):
-            for i in idx:
+        for j, i in enumerate(idx):
+            pos = self.global_offset + b * bs + j
+            with batch_rng(derive_seed(self.seed, pos, self.epoch)):
                 r, m, u = self.formatter(self.dataset[int(i)])
-                reals.append(np.asarray(r, np.float32))
-                masks.append(np.asarray(m, np.float32))
-                uids.append(u)
+            reals.append(np.asarray(r, np.float32))
+            masks.append(np.asarray(m, np.float32))
+            uids.append(u)
         return (np.stack(reals), np.stack(masks)[:, None], val, uids)
 
     def __iter__(self):

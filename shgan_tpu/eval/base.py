@@ -70,6 +70,27 @@ class BaseEvaluator:
     def clear_data(self):
         pass
 
+    def sync_across_processes(self):
+        """Multi-host: gather accumulated per-image rows across processes.
+
+        Convention: accumulator attributes are named ``data`` or
+        ``data_*`` and hold lists of ``[n_i, ...]`` arrays.  Per-process
+        shards are contiguous in the global order (data/sampler.py), so
+        process-order concatenation restores dataset order — the
+        single-controller replacement for the reference's broadcast
+        ``sync`` + ``zipzap_arrange`` (eva_base.py:96-230).
+
+        Every process must call this (it runs collectives); emptiness of an
+        accumulator is config-determined and therefore uniform across
+        processes.
+        """
+        from ..parallel import allgather_rows
+        for name, val in list(self.__dict__.items()):
+            if (name == "data" or name.startswith("data_")) \
+                    and isinstance(val, list) and val:
+                local = np.concatenate([np.asarray(v) for v in val], axis=0)
+                setattr(self, name, [allgather_rows(local)])
+
     @staticmethod
     def _apply_valid(arrays, valid):
         """Drop padded rows (the extend=True padding of the sampler)."""
@@ -118,6 +139,10 @@ class ComposeEvaluator:
         for i, e in enumerate(self.evaluators):
             if getattr(e, "needs_generator", False):
                 e.run_generator_metrics(G, params, seed=seed + i)
+
+    def sync_across_processes(self):
+        for e in self.evaluators:
+            e.sync_across_processes()
 
     def compute(self):
         return {e.symbol: e.compute() for e in self.evaluators}

@@ -85,9 +85,11 @@ class FeatureBankEvaluator(BaseEvaluator):
                 real_feat = np.concatenate(self.data_real_feat,
                                            0)[:sample_real_n]
                 if self.dsstat_cache_file is not None:
-                    os.makedirs(osp.dirname(self.dsstat_cache_file),
-                                exist_ok=True)
-                    np.save(self.dsstat_cache_file, real_feat)
+                    from ..parallel import is_lead
+                    if is_lead():  # writer-process convention
+                        os.makedirs(osp.dirname(self.dsstat_cache_file),
+                                    exist_ok=True)
+                        np.save(self.dsstat_cache_file, real_feat)
         return fake_feat, real_feat, fake_probs
 
     def clear_data(self):

@@ -1,0 +1,100 @@
+"""Multi-host (multi-process) execution helpers.
+
+The reference is single-node multi-GPU (mp.spawn + NCCL,
+`/root/reference/main.py:72-89`, `utils.py:304-309`); the TPU-native
+equivalent of growing beyond one node is multi-*process* JAX over DCN:
+``jax.distributed.initialize`` + one contiguous data shard per process,
+assembled into global arrays with ``make_array_from_process_local_data``
+(SURVEY §2.3 "TPU-equivalent" column).  Conventions:
+
+* every process computes identical replicated values (configs, params,
+  z/noise key streams) from the shared seed — nothing to broadcast;
+* per-process data shards are contiguous in the global order, so
+  concatenating host-gathered rows in process order restores dataset order
+  (the reference's ``zipzap_arrange`` interleave is unnecessary);
+* process 0 is the writer (logs, checkpoints, result.json) — the
+  reference's RANK==0 convention.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def maybe_initialize_distributed():
+    """Call ``jax.distributed.initialize`` when the environment names a
+    coordinator.  Recognized (first match wins):
+
+    * ``SHGAN_DIST_COORDINATOR`` + ``SHGAN_DIST_NPROCS`` +
+      ``SHGAN_DIST_PID`` — explicit, used by the multi-process tests;
+    * ``JAX_COORDINATOR_ADDRESS`` (+ ``JAX_NUM_PROCESSES`` /
+      ``JAX_PROCESS_ID``) — the standard JAX names; on Cloud TPU pods the
+      argless auto-detect path handles the rest.
+
+    Must run before any other JAX API touches the backend.  Returns
+    (process_index, process_count).
+    """
+    import jax
+
+    coord = os.environ.get("SHGAN_DIST_COORDINATOR")
+    if coord:
+        nprocs = int(os.environ["SHGAN_DIST_NPROCS"])
+        pid = int(os.environ["SHGAN_DIST_PID"])
+        jax.distributed.initialize(coord, nprocs, pid)
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def is_lead():
+    """True on the writer process (reference RANK == 0 convention)."""
+    import jax
+    return jax.process_index() == 0
+
+
+def local_rows(arr):
+    """Host rows of a (possibly multi-host global) batch-sharded array.
+
+    Fully-addressable arrays (single host) read back whole; otherwise the
+    addressable shards are concatenated in global-index order, which is
+    exactly the row block this process fed via
+    ``make_array_from_process_local_data``.
+    """
+    import jax
+
+    if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allgather_rows(arr):
+    """Concatenate per-process ``[n_p, ...]`` host arrays across processes
+    in process order (contiguous shards → global dataset order).  Row
+    counts may differ per process (validity-masked rows); float64 rides as
+    float32 (the device transport dtype)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils as mhu
+
+    arr = np.asarray(arr)
+    if arr.dtype == np.float64:
+        arr = arr.astype(np.float32)
+    elif arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8)
+    counts = np.asarray(mhu.process_allgather(
+        np.asarray([arr.shape[0]], np.int32))).reshape(-1)
+    m = int(counts.max())
+    if m == 0:
+        return arr[:0]
+    if arr.shape[0] < m:
+        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        arr = np.concatenate([arr, pad], axis=0)
+    gathered = np.asarray(mhu.process_allgather(arr))  # [P, m, ...]
+    return np.concatenate(
+        [gathered[p, :counts[p]] for p in range(len(counts))], axis=0)

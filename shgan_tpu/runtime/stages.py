@@ -25,7 +25,7 @@ from ..data import get_dataset
 from ..data.formatters import get_formatter
 from ..data.transforms import wrap_formatter
 from ..data.pipeline import EvalPipeline, TrainPipeline
-from ..parallel import create_mesh, replicated
+from ..parallel import create_mesh, replicated, local_rows, is_lead
 from ..eval import get_evaluator
 from ..checkpoint import (load_torch_pth, torch_state_dict_to_params,
                           load_network_snapshot)
@@ -208,51 +208,87 @@ class eval_stage:
         params = jax.device_put(params, replicated(mesh))
 
         if cfgv.get("output_sample_images", False):
-            draw_demo_grid(G, params, dataset, formatter, log_dir, G.z_dim)
+            if jax.process_count() > 1:
+                # lead-only, on a host copy of the replicated params so the
+                # jit stays process-local (no cross-host collectives)
+                if is_lead():
+                    draw_demo_grid(G, jax.device_get(params), dataset,
+                                   formatter, log_dir, G.z_dim)
+            else:
+                draw_demo_grid(G, params, dataset, formatter, log_dir,
+                               G.z_dim)
             if cfgv.get("demo_only", False):
                 print_log(f"demo grid written to {log_dir}/demo")
                 return {"eval_rv": None}
 
         evaluator = self._build_evaluator(cfgv, cfge)
 
+        # eval runs with random noise like the reference
+        # (shgan_default.py:260); parity runs pin noise_mode: const/none
+        noise_mode = cfgv.get("noise_mode", "random")
+
         @jax.jit
-        def run_generator(params, real, mask, z, rng):
+        def run_generator(params, real, mask, z, rng_data):
             """composite + uint8 quantize (shgan_default.py:257-262);
             uint8 on device — 4x less device→host readback."""
+            rng = jax.random.wrap_key_data(rng_data)
             x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
-            img = G(params, x, z, noise_mode="random", rng=rng)
+            img = G(params, x, z, noise_mode=noise_mode, rng=rng)
             img_combined = real * mask + img * (1 - mask)
             fake_u8 = jnp.clip(img_combined * 127.5 + 127.5, 0, 255)
             return fake_u8.astype(jnp.uint8)
 
+        def local_z(idx):
+            """Per-sample z keyed by global dataset position, so the
+            (image, z) pairing is invariant to the process layout; each
+            host builds only its own rows and the mesh assembly matches
+            the data batch."""
+            from ..data.rng import derive_seed
+            lbs = pipe.shard.batch_size
+            off = pipe.shard.global_offset + idx * lbs
+            return np.stack([
+                np.random.RandomState(derive_seed(seed, off + j, 0x5EED))
+                .randn(G.z_dim).astype(np.float32) for j in range(lbs)])
+
+        # every process derives the identical key stream from the shared
+        # seed; keys cross into jit as host numpy (implicitly replicated
+        # on a multi-host mesh — nothing to broadcast)
+        from ..parallel import local_batch_to_global
         key = jax.random.key(seed)
         log_display = cfgv.get("log_display", 10)
         t0 = timeit.default_timer()
         for idx, (real, mask, valid, uids) in enumerate(pipe):
-            key, kz, kn = jax.random.split(key, 3)
-            z = jax.random.normal(kz, (batch_size, G.z_dim))
-            fake = run_generator(params, real, mask, z, kn)
-            fake_np = np.asarray(fake).astype(np.float32)
-            real_np = np.asarray(real)
+            key, kn = jax.random.split(key)
+            (z,) = local_batch_to_global((local_z(idx),), mesh)
+            fake = run_generator(params, real, mask, z,
+                                 np.asarray(jax.random.key_data(kn)))
+            # local_rows: this process's block of the global batch — the
+            # same rows its DataShard formatted (valid/uids are local too)
+            fake_np = local_rows(fake).astype(np.float32)
+            real_np = local_rows(real)
             evaluator.add_batch(
                 pred=fake_np / 255.0,
                 gt=(real_np + 1) / 2,
                 fake=fake_np,
                 real=real_np * 127.5 + 127.5,
-                mask=np.asarray(mask),
+                mask=local_rows(mask),
                 fn=uids, valid=valid)
             if idx % log_display == log_display - 1:
                 print_log("processed.. {}, Time:{:.2f}s".format(
                     idx + 1, timeit.default_timer() - t0))
                 t0 = timeit.default_timer()
 
+        if jax.process_count() > 1:
+            # restore global dataset order across hosts before computing
+            evaluator.sync_across_processes()
         if getattr(evaluator, "needs_generator", False):
             # generator-in-the-loop metrics (PPL) run after the stream
             evaluator.run_generator_metrics(G, params, seed=seed)
         evaluator.set_sample_n(len(dataset))
         rv = evaluator.compute()
         evaluator.one_line_summary()
-        evaluator.save(log_dir)
+        if is_lead():
+            evaluator.save(log_dir)
         evaluator.clear_data()
         return {"eval_rv": rv}
 
@@ -352,8 +388,9 @@ class train_stage:
                           static_argnames=("do_greg", "do_dreg"),
                           donate_argnums=(0,))
 
-        logger = ScalarLogger(log_dir, tensorboard=cfgt.get(
-            "log_tensorboard", False))
+        # writer-process-only stats files (reference RANK==0 convention)
+        logger = ScalarLogger(log_dir if is_lead() else None,
+                              tensorboard=cfgt.get("log_tensorboard", False))
         total_kimg = cfgt.get("total_kimg", 25000)
         kimg_per_tick = cfgt.get("kimg_per_tick", 4)
         snapshot_ticks = cfgt.get("snapshot_ticks", 50)
@@ -462,6 +499,12 @@ class train_stage:
         name = ("network-snapshot-{}".format(tag) if tag else
                 "network-snapshot-{:06d}".format(cur_nimg // 1000))
         path = osp.join(log_dir, "weight", name)
+        if jax.process_count() > 1:
+            # state is replicated; the lead process writes its host copy
+            # (reference RANK==0 pickle convention)
+            if not is_lead():
+                return
+            state = jax.device_get(state)
         save_checkpoint(path, state)
         print_log(f"saved snapshot {path}")
 
@@ -488,7 +531,8 @@ class train_stage:
         seed = cfge.get("rnd_seed", 0) or 0
 
         @jax.jit
-        def fwd(params, real, mask, z, rng):
+        def fwd(params, real, mask, z, rng_data):
+            rng = jax.random.wrap_key_data(rng_data)
             x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
             img = G(params, x, z, noise_mode="random", rng=rng)
             combined = real * mask + img * (1 - mask)
@@ -499,13 +543,17 @@ class train_stage:
             key = jax.random.key(seed + 12345)
             for real, mask, valid, uids in pipe:
                 key, kz, kn = jax.random.split(key, 3)
-                z = jax.random.normal(kz, (real.shape[0], G.z_dim))
-                fake = np.asarray(fwd(params_gema, real, mask, z, kn))
-                real_np = np.asarray(real)
+                z = np.asarray(jax.random.normal(kz,
+                                                 (real.shape[0], G.z_dim)))
+                fake = local_rows(fwd(params_gema, real, mask, z,
+                                      np.asarray(jax.random.key_data(kn))))
+                real_np = local_rows(real)
                 evaluator.add_batch(pred=fake / 255.0,
                                     gt=(real_np + 1) / 2,
                                     fake=fake, real=real_np * 127.5 + 127.5,
                                     fn=uids, valid=valid)
+            if jax.process_count() > 1:
+                evaluator.sync_across_processes()
             evaluator.set_sample_n(len(dataset))
             rv = evaluator.compute()
             evaluator.clear_data()

@@ -1,0 +1,119 @@
+"""Multi-process (multi-host) execution: 2 JAX processes × 2 virtual CPU
+devices through the REAL eval_stage, compared against the identical
+1-process run.
+
+Covers: jax.distributed.initialize env wiring, per-process data shards
+(contiguous global blocks), make_array_from_process_local_data assembly,
+local-row readback, evaluator cross-process allgather, and the
+writer-process (rank-0) file convention — the TPU-native replacement for
+the reference's mp.spawn + NCCL node (SURVEY §2.3)."""
+
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+HERE = osp.dirname(osp.abspath(__file__))
+DRIVER = osp.join(HERE, "mh_driver.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _clean_env():
+    env = dict(os.environ)
+    for k in ("SHGAN_DIST_COORDINATOR", "SHGAN_DIST_NPROCS",
+              "SHGAN_DIST_PID", "XLA_FLAGS", "JAX_PLATFORM_NAME"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = (osp.dirname(HERE) + os.pathsep
+                         + env.get("PYTHONPATH", ""))
+    return env
+
+
+def _run_driver(pid, nproc, port, out_dir, env):
+    return subprocess.Popen(
+        [sys.executable, DRIVER, str(pid), str(nproc), str(port), out_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+
+
+def test_two_process_eval_stage_matches_single(tmp_path):
+    env = _clean_env()
+
+    out1 = str(tmp_path / "single")
+    p = _run_driver(0, 1, 0, out1, env)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out[-3000:]
+    assert "MH_DRIVER_OK" in out
+
+    out2 = str(tmp_path / "double")
+    port = _free_port()
+    procs = [_run_driver(i, 2, port, out2, env) for i in range(2)]
+    logs = []
+    for p in procs:
+        o, _ = p.communicate(timeout=900)
+        logs.append(o)
+    assert all(p.returncode == 0 for p in procs), \
+        "\n".join(log[-3000:] for log in logs)
+
+    with open(osp.join(out1, "result.json")) as f:
+        single = json.load(f)
+    with open(osp.join(out2, "result.json")) as f:
+        double = json.load(f)
+
+    assert set(single) == set(double) == {"psnr", "ssim"}
+    # identical data (per-sample RNG), per-sample positional z, pinned
+    # noise_mode → same images up to float noise (~3e-6 pre-quantization);
+    # slack covers uint8 rounding flips + the float32 gather transport
+    assert abs(single["psnr"]["psnr"] - double["psnr"]["psnr"]) < 0.02, \
+        (single, double)
+    assert abs(single["ssim"]["ssim"] - double["ssim"]["ssim"]) < 0.002, \
+        (single, double)
+
+
+def test_shard_rng_is_shard_count_invariant():
+    """The per-sample RNG scope makes formatted samples independent of the
+    shard layout (the property the integration test relies on)."""
+    import numpy as np
+    from shgan_tpu.data.sampler import DataShard
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"image": np.full((3, 8, 8), i / 8.0, np.float32),
+                    "unique_id": f"u{i}"}
+
+    def fmt(el):
+        from shgan_tpu.data.rng import R
+        mask = (R.rand(8, 8) > 0.5).astype(np.float32)
+        return el["image"] * 2 - 1, mask, el["unique_id"]
+
+    whole = DataShard(DS(), fmt, 4, shard_id=0, num_shards=1, seed=5)
+    all_single = [whole.get_batch(b) for b in range(len(whole))]
+    masks_single = np.concatenate([m for _, m, _, _ in
+                                   [(r, m, v, u) for r, m, v, u
+                                    in all_single]])
+
+    masks_sharded = []
+    for sid in range(2):
+        sh = DataShard(DS(), fmt, 2, shard_id=sid, num_shards=2, seed=5)
+        rows = np.concatenate([sh.get_batch(b)[1]
+                               for b in range(len(sh))])
+        masks_sharded.append(rows)
+    # shard 0 holds global rows [0,4), shard 1 holds [4,8)
+    import numpy.testing as npt
+    npt.assert_array_equal(masks_single[:4], masks_sharded[0])
+    npt.assert_array_equal(masks_single[4:], masks_sharded[1])
