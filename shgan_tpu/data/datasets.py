@@ -38,7 +38,8 @@ def register_dataset(name):
 
 
 _DATASET_CFG_KEYS = ("root_dir", "mode", "resolution", "try_sample",
-                     "length", "seed")
+                     "length", "seed", "allow_partial",
+                     "mixed_order_on_texture_type")
 
 
 def get_dataset(cfg, fallback_synthetic=False):
@@ -209,11 +210,8 @@ class Places2Dataset(_Base):
 
 
 @register_dataset("imagedir")
-@register_dataset("openimages")  # OpenImagesV6 1024² (ds_openimages.py:22-173)
-@register_dataset("texture")     # texture experiments (ds_texture.py:23-268)
 class ImageDirDataset(_Base):
-    """Flat/recursive image directory (the reference's imagedir/openimages
-    pattern, ds_openimages.py:22-98)."""
+    """Flat/recursive image directory (generic fallback pattern)."""
 
     def __init__(self, root_dir, resolution=None, try_sample=None):
         info = []
@@ -226,6 +224,216 @@ class ImageDirDataset(_Base):
                 uid = osp.splitext(osp.relpath(path, root_dir))[0].replace(
                     "/", "_")
                 info.append({"unique_id": uid, "image_path": path})
+        if try_sample is not None:
+            info = info[:try_sample]
+        self.load_info = info
+        self.resolution = resolution
+
+    def __getitem__(self, i):
+        from PIL import Image
+        info = self.load_info[i]
+        img = Image.open(info["image_path"]).convert("RGB")
+        if self.resolution and img.size != (self.resolution,
+                                            self.resolution):
+            img = img.resize((self.resolution, self.resolution),
+                             Image.BICUBIC)
+        return {"image": _to_chw01(np.asarray(img)),
+                "unique_id": info["unique_id"]}
+
+
+@register_dataset("ffhq")
+class FFHQJsonDataset(_Base):
+    """FFHQ via the official ``ffhq-dataset-v2.json`` index
+    (`/root/reference/lib/data_factory/ds_ffhq.py:19-66`): mode is a
+    '+'-joined subset of train/val mapping to the json 'category'
+    (training/validation); unique ids are '00_train-<stem>' /
+    '50_val-<stem>' so a sorted order puts train before val.
+    ``allow_partial`` skips missing files (debug subsets); otherwise a
+    missing file is an error.  ``resolution`` adds the bicubic R512Loader
+    behavior (ds_ffhq.py:101-112)."""
+
+    _CATEGORY = {"train": "training", "val": "validation"}
+    _MODETAG = {"training": "00_train", "validation": "50_val"}
+
+    def __init__(self, root_dir, mode="train", allow_partial=False,
+                 resolution=None, try_sample=None):
+        import json
+        index = osp.join(root_dir, "ffhq-dataset-v2.json")
+        if not osp.isfile(index):
+            raise FileNotFoundError(index)
+        with open(index) as f:
+            jinfo = json.load(f)
+        subset = {self._CATEGORY.get(m) for m in str(mode).split("+")}
+        info = []
+        for _, ji in jinfo.items():
+            if ji["category"] not in subset:
+                continue
+            impath = osp.join(root_dir, ji["image"]["file_path"])
+            if not impath.endswith((".jpg", ".png")):
+                continue
+            if not osp.isfile(impath):
+                if allow_partial:
+                    continue
+                raise ValueError(f"missing image {impath}")
+            stem = osp.splitext(osp.basename(impath))[0]
+            uid = f"{self._MODETAG[ji['category']]}-{stem}"
+            info.append({"unique_id": uid, "image_path": impath})
+        if try_sample is not None:
+            info = info[:try_sample]
+        self.load_info = info
+        self.resolution = resolution
+
+    def __getitem__(self, i):
+        from PIL import Image
+        info = self.load_info[i]
+        img = Image.open(info["image_path"]).convert("RGB")
+        if self.resolution and img.size != (self.resolution,
+                                            self.resolution):
+            img = img.resize((self.resolution, self.resolution),
+                             Image.BICUBIC)
+        return {"image": _to_chw01(np.asarray(img)),
+                "unique_id": info["unique_id"]}
+
+
+@register_dataset("ffhqsimple")
+class FFHQSimpleDataset(_Base):
+    """FFHQ from the extracted ``ffhq256x256/<sub>/<id>.png`` folder tree
+    (ds_ffhq.py:222-244; mode train256 only there)."""
+
+    def __init__(self, root_dir, mode="train256", try_sample=None):
+        if mode != "train256":
+            raise ValueError(f"ffhqsimple supports mode train256, got "
+                             f"{mode!r} (ds_ffhq.py:227-231)")
+        base = osp.join(root_dir, "ffhq256x256")
+        if not osp.isdir(base):
+            raise FileNotFoundError(base)
+        info = []
+        for sub in sorted(os.listdir(base)):
+            subdir = osp.join(base, sub)
+            if not osp.isdir(subdir):
+                continue
+            for fn in sorted(os.listdir(subdir)):
+                if not fn.endswith(".png"):
+                    continue
+                info.append({"unique_id": osp.splitext(fn)[0],
+                             "image_path": osp.join(subdir, fn)})
+        if try_sample is not None:
+            info = info[:try_sample]
+        self.load_info = info
+
+    def __getitem__(self, i):
+        from PIL import Image
+        info = self.load_info[i]
+        img = Image.open(info["image_path"]).convert("RGB")
+        return {"image": _to_chw01(np.asarray(img)),
+                "unique_id": info["unique_id"]}
+
+
+def _fit_resolution(img, resolution):
+    """The openimages FixResolutionLoader (ds_openimages.py:64-80):
+    aspect-preserving bicubic downscale so the long side fits, zero-pad to
+    a square, and record the pre-pad content size (h, w) — the
+    FreeFormMaskFormatter masks the padding out (ds_openimages.py:163-165).
+    """
+    from PIL import Image
+    w, h = img.size
+    if w > resolution or h > resolution:
+        ratio = resolution / w if w > h else resolution / h
+        target = ((resolution, int(h * ratio)) if w > h
+                  else (int(w * ratio), resolution))
+        img = img.resize(target, Image.BICUBIC)
+    content_size = (img.size[1], img.size[0])  # (h, w)
+    padded = np.zeros((resolution, resolution, 3), np.uint8)
+    arr = np.asarray(img, np.uint8)
+    padded[: arr.shape[0], : arr.shape[1]] = arr
+    return padded, content_size
+
+
+@register_dataset("openimages")
+class OpenImagesDataset(_Base):
+    """OpenImagesV6 (ds_openimages.py:22-50): mode train → <root>/train,
+    val → <root>/validation; unique id joins the subdirectory tags with the
+    file stem.  Images load through the aspect-preserving pad-to-square
+    FixResolutionLoader with ``content_size`` recorded per element."""
+
+    MODES = {"train": "train", "val": "validation"}
+
+    def __init__(self, root_dir, mode="val", resolution=512,
+                 try_sample=None):
+        if mode not in self.MODES:
+            raise ValueError(f"openimages mode must be train|val, got "
+                             f"{mode!r}")
+        base = osp.join(root_dir, self.MODES[mode])
+        if not osp.isdir(base):
+            raise FileNotFoundError(base)
+        info = []
+        for dirpath, _d, filenames in sorted(os.walk(base)):
+            for fn in sorted(filenames):
+                path = osp.join(dirpath, fn)
+                if not path.endswith((".jpg", ".png")):
+                    continue
+                rel = osp.relpath(dirpath, base)
+                tags = ([] if rel == "." else rel.split(os.sep)) \
+                    + [osp.splitext(fn)[0]]
+                info.append({"unique_id": "-".join(tags),
+                             "image_path": path})
+        if try_sample is not None:
+            info = info[:try_sample]
+        self.load_info = info
+        self.resolution = resolution
+
+    def __getitem__(self, i):
+        from PIL import Image
+        info = self.load_info[i]
+        img = Image.open(info["image_path"]).convert("RGB")
+        padded, content_size = _fit_resolution(img, self.resolution)
+        return {"image": _to_chw01(padded),
+                "content_size": content_size,
+                "unique_id": info["unique_id"]}
+
+
+@register_dataset("texture")
+class TextureDataset(_Base):
+    """DTD texture dataset (ds_texture.py:23-88): file lists from
+    ``<root>/dtd/labels/<mode>.txt`` ('+'-joinable, e.g. train1+val1),
+    images at ``<root>/dtd/images/<type>/<file>``, square bicubic resize.
+    ``mixed_order_on_texture_type`` round-robins the texture types so demo
+    grids cover many patterns (ds_texture.py:66-88), prefixing uids with a
+    running counter exactly like the reference."""
+
+    def __init__(self, root_dir, mode="train1", resolution=512,
+                 mixed_order_on_texture_type=False, try_sample=None):
+        labels = osp.join(root_dir, "dtd", "labels")
+        if not osp.isdir(labels):
+            raise FileNotFoundError(labels)
+        imlist = []
+        for m in str(mode).split("+"):
+            if not m.startswith(("train", "val", "test")):
+                raise ValueError(f"texture mode part {m!r}")
+            with open(osp.join(labels, m + ".txt")) as f:
+                imlist += [li.strip() for li in f if li.strip()]
+        info = []
+        for imref in imlist:
+            ttype, filename = osp.split(imref)
+            info.append({
+                "unique_id": osp.splitext(filename)[0],
+                "texture_type": ttype,
+                "image_path": osp.join(root_dir, "dtd", "images", ttype,
+                                       filename)})
+        if mixed_order_on_texture_type:
+            groups = {}
+            for el in info:
+                groups.setdefault(el["texture_type"], []).append(el)
+            info, cnt = [], 0
+            while groups:
+                for tt in list(groups):
+                    if not groups[tt]:
+                        groups.pop(tt)
+                        continue
+                    el = dict(groups[tt].pop(0))
+                    el["unique_id"] = "{:05d}_".format(cnt) + el["unique_id"]
+                    info.append(el)
+                    cnt += 1
         if try_sample is not None:
             info = info[:try_sample]
         self.load_info = info

@@ -85,12 +85,26 @@ class LamaMaskFormatter:
 @register_formatter("FreeFormMaskFormatter")
 class FreeFormMaskFormatter(RandomMaskFormatter):
     """Places2 freeform-mask variant — same recipe, 'resolution' arg name
-    (reference FreeFormMaskFormatter, ds_places2.py:213-229)."""
+    (reference FreeFormMaskFormatter, ds_places2.py:213-229).  When the
+    element carries ``content_size`` (openimages pad-to-square loader),
+    the padding region is forced to keep=1 so it is never inpainted
+    (ds_openimages.py:152-168)."""
 
     def __init__(self, random_flip=True, resolution=512, hole_range=(0, 1),
                  impl="auto"):
         super().__init__(random_flip=random_flip, mask_resolution=resolution,
                          hole_range=hole_range, impl=impl)
+
+    def __call__(self, element):
+        x, mask, uid = super().__call__(element)
+        cs = element.get("content_size") if isinstance(element, dict) \
+            else None
+        if cs is not None:
+            im_h, im_w = cs
+            mask = np.asarray(mask)
+            mask[:, im_w:] = 1.0
+            mask[im_h:, :] = 1.0
+        return x, mask, uid
 
 
 @register_formatter("AdvInpaintingFormatter")

@@ -69,7 +69,7 @@ def g_main_loss(G, D, params_g, params_d, x_in, mask, z, c, rng,
 
 
 def g_pl_loss(G, params_g, x_in, z, c, rng, pl_mean, pl_decay=0.01,
-              pl_weight=2.0, pl_batch_shrink=2):
+              pl_weight=2.0, pl_batch_shrink=2, style_mixing_prob=0.9):
     """Path-length regularization on a shrunk batch (reference loss `:73-88`).
 
     Returns (loss, new_pl_mean, pl_lengths_mean).  The inner grad w.r.t. ws
@@ -84,7 +84,8 @@ def g_pl_loss(G, params_g, x_in, z, c, rng, pl_mean, pl_decay=0.01,
     num_ws = ws.shape[1]
     k_cut, k_p, k_z = jax.random.split(k_mix, 3)
     cutoff = jax.random.randint(k_cut, (), 1, num_ws)
-    cutoff = jnp.where(jax.random.uniform(k_p, ()) < 0.9, cutoff, num_ws)
+    cutoff = jnp.where(jax.random.uniform(k_p, ()) < style_mixing_prob,
+                       cutoff, num_ws)
     ws2 = G.mapping(params_g["mapping"],
                     jax.random.normal(k_z, z_s.shape, z_s.dtype), c_s)
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, num_ws, 1), 1)
@@ -112,11 +113,13 @@ def g_pl_loss(G, params_g, x_in, z, c, rng, pl_mean, pl_decay=0.01,
     return loss, new_pl_mean, pl_lengths.mean()
 
 
-def d_main_loss(G, D, params_g, params_d, x_in, mask, real, z, c, rng):
+def d_main_loss(G, D, params_g, params_d, x_in, mask, real, z, c, rng,
+                style_mixing_prob=0.9):
     """Discriminator main loss: softplus(D(gen)) + softplus(−D(real))
     (reference loss `:92-116`)."""
     img, _ws, _ = run_g(G, params_g, x_in, z, c, rng,
-                        style_mixing_prob=0.9, update_w_avg=False)
+                        style_mixing_prob=style_mixing_prob,
+                        update_w_avg=False)
     img = jax.lax.stop_gradient(img)
     gen_logits = D(params_d, jnp.concatenate([mask - 0.5, img], axis=1), c)
     real_logits = D(params_d,

@@ -55,17 +55,36 @@ def nan_scrub():
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
 
 
-def make_optimizer(lr=0.002, betas=(0.0, 0.99), eps=1e-8, reg_interval=None):
+def make_optimizer(lr=0.002, betas=(0.0, 0.99), eps=1e-8, reg_interval=None,
+                   optimizer=None, schedule=None):
     """Adam with lazy-regularization hyperparameter scaling
-    (reference stylegan_default.py:304-320)."""
+    (reference stylegan_default.py:304-320).
+
+    ``schedule`` (a list of {"type", "args"} segments) and ``optimizer``
+    ({"type", "args"}) come from the L1 registries in train/schedules.py —
+    the reference's composable get_scheduler/get_optimizer plumbing
+    (get_scheduler.py:13-141, get_optimizer.py:14-39) — and flow here from
+    TrainConfig.g_opt / d_opt (config key train.loss_kwargs.g_opt.schedule
+    etc.).  Lazy-reg scaling applies to the LR in all cases and to the
+    betas of the default Adam; a custom optimizer's own args are used
+    as-is."""
+    mb_ratio = 1.0
     if reg_interval is not None:
         mb_ratio = reg_interval / (reg_interval + 1)
-        lr = lr * mb_ratio
         betas = tuple(b ** mb_ratio for b in betas)
+    if schedule is not None:
+        from .schedules import get_scheduler
+        base = get_scheduler(schedule)
+        lr_fn = lambda count: base(count) * mb_ratio  # noqa: E731
+    else:
+        lr_fn = lr * mb_ratio
+    if optimizer is not None:
+        from .schedules import get_optimizer
+        return optax.chain(nan_scrub(), get_optimizer(optimizer, lr_fn))
     return optax.chain(
         nan_scrub(),
         optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
-        optax.scale(-lr),
+        optax.scale_by_learning_rate(lr_fn),
     )
 
 
@@ -160,7 +179,8 @@ def make_train_step(G, D, cfg: TrainConfig):
                 loss_pl, new_pl_mean, pl_len = L.g_pl_loss(
                     G, params_g, x_in, z2, c, kgpl, pl_mean,
                     pl_decay=cfg.pl_decay, pl_weight=cfg.pl_weight,
-                    pl_batch_shrink=cfg.pl_batch_shrink)
+                    pl_batch_shrink=cfg.pl_batch_shrink,
+                    style_mixing_prob=cfg.style_mixing_prob)
                 # lazy reg: loss scaled by the interval (gain,
                 # stylegan_default.py:156)
                 total = total + loss_pl * cfg.g_reg_interval
@@ -217,7 +237,8 @@ def make_train_step(G, D, cfg: TrainConfig):
             c = jnp.zeros((nb, 0), jnp.float32)
             z = jax.random.normal(kz3, (nb, G.z_dim))
             loss_main, aux = L.d_main_loss(
-                G, D, params_g, params_d, x_in, mask, real, z, c, kd)
+                G, D, params_g, params_d, x_in, mask, real, z, c, kd,
+                style_mixing_prob=cfg.style_mixing_prob)
             total = loss_main
             r1 = jnp.zeros(())
             if do_dreg:

@@ -67,3 +67,71 @@ def test_optimizer_registry_builds_and_steps():
         assert np.isfinite(np.asarray(params2["w"])).all()
         assert not np.allclose(np.asarray(params2["w"]),
                                np.asarray(params["w"]))
+
+
+def test_make_optimizer_consumes_schedule_and_registry():
+    """TrainConfig.g_opt plumbing: schedule pipelines and optimizer types
+    flow into the train step's optimizer (VERDICT r1 missing#7)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shgan_tpu.train.step import make_optimizer
+
+    sched = [{"type": "constant", "args": {"lr": 1.0, "step": 2}},
+             {"type": "constant", "args": {"lr": 0.1, "step": 2}}]
+    tx = make_optimizer(schedule=sched, reg_interval=None)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    for i, want_lr in enumerate([1.0, 1.0, 0.1, 0.1]):
+        upd, state = tx.update(g, state, params)
+        # after adam normalization the update magnitude equals the lr
+        np.testing.assert_allclose(np.asarray(upd["w"])[0], -want_lr,
+                                   rtol=1e-2, err_msg=f"step {i}")
+
+    # lazy-reg scaling applies to the scheduled lr too
+    tx = make_optimizer(schedule=sched, reg_interval=4)
+    state = tx.init(params)
+    upd, state = tx.update(g, state, params)
+    np.testing.assert_allclose(np.asarray(upd["w"])[0], -0.8, rtol=1e-2)
+
+    # registry optimizer type (sgd) + float lr
+    tx = make_optimizer(lr=0.5, optimizer={"type": "sgd", "args": {}})
+    state = tx.init(params)
+    upd, _ = tx.update(g, state, params)
+    np.testing.assert_allclose(np.asarray(upd["w"]), -0.5, rtol=1e-6)
+
+
+def test_style_mixing_prob_flows_to_all_losses(monkeypatch):
+    """style_mixing_prob reaches run_g from d_main_loss (and is a real
+    parameter of g_pl_loss) instead of the former hardcoded 0.9."""
+    import inspect
+    import jax
+    import jax.numpy as jnp
+    import shgan_tpu.train.loss as L
+
+    assert "style_mixing_prob" in inspect.signature(L.g_pl_loss).parameters
+
+    captured = {}
+
+    def fake_run_g(G, params_g, x_in, z, c, rng, style_mixing_prob=0.9,
+                   update_w_avg=True, train=True):
+        captured["p"] = style_mixing_prob
+        return jnp.zeros((1, 3, 4, 4)), None, None
+
+    monkeypatch.setattr(L, "run_g", fake_run_g)
+
+    def D(params, x, c):
+        return jnp.zeros((1, 1))
+
+    L.d_main_loss(None, D, None, None,
+                  x_in=jnp.zeros((1, 4, 4, 4)),
+                  mask=jnp.zeros((1, 1, 4, 4)),
+                  real=jnp.zeros((1, 3, 4, 4)),
+                  z=jnp.zeros((1, 2)), c=None,
+                  rng=jax.random.key(0), style_mixing_prob=0.55)
+    assert captured["p"] == 0.55
+
+    # TrainConfig carries it into make_train_step's call sites
+    import shgan_tpu.train.step as S
+    src = inspect.getsource(S.make_train_step)
+    assert src.count("style_mixing_prob=cfg.style_mixing_prob") >= 2
