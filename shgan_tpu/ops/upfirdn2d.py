@@ -168,6 +168,27 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1):
     if not flip_filter:
         f = f[tuple(slice(None, None, -1) for _ in range(f.ndim))]
 
+    # Hot path: stride-1 separable FIR → Pallas VPU kernel (fir_pallas.py).
+    # The lax.pad above stays in XLA where it fuses into the producer; the
+    # kernel computes the remaining valid correlation at HBM bandwidth.
+    if downx == 1 and downy == 1:
+        from . import fir_pallas
+        try:
+            f_np = np.asarray(f)  # trace-time constant in all real models
+        except Exception:
+            f_np = None
+        if f_np is not None:
+            if f_np.ndim == 1:
+                # 1D = separable by construction; f carries sqrt(gain), so
+                # using it on both axes applies the full gain
+                fac = (tuple(float(v) for v in f_np),
+                       tuple(float(v) for v in f_np))
+            else:
+                fac = fir_pallas.separable_factor(f_np)
+            if fac is not None and fir_pallas.fir_pallas_eligible(
+                    x.shape, x.dtype, fac[0], fac[1]):
+                return fir_pallas.fir_separable_valid(x, fac[0], fac[1])
+
     if f.ndim == 2:
         x = _depthwise_fir(x, f, downx, downy)
     else:
