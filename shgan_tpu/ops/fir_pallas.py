@@ -1,12 +1,17 @@
-"""Pallas TPU kernel for the depthwise FIR pass of upfirdn2d.
+"""Pallas TPU kernel for the depthwise FIR pass of upfirdn2d (opt-in).
 
-Profiling the 512² generator (batch 120, v5e) shows the stride-1 depthwise
-FIR convolutions — XLA ``conv_general_dilated`` with
-``feature_group_count=C`` lowered from `ops/upfirdn2d.py:112` — running at
-~400 GB/s against the chip's ~819 GB/s HBM bandwidth (50 ms of a 309 ms
-step).  A depthwise 4×4 filter does no MXU work; this kernel streams each
+A depthwise 4×4 filter does no MXU work; this kernel streams each
 (n, channel-block) through VMEM once and applies the filter as two
 separable shifted-multiply-add passes on the VPU with fp32 accumulation.
+
+OUTCOME (v5e, 512² generator, batch 120): a 2.3× end-to-end LOSS vs the
+XLA depthwise conv (147 vs 344 img/s; isolated 220 vs 690 GB/s) — XLA's
+FIR emitter is already near HBM speed-of-light and fuses the producing
+``lax.pad``, which the custom-call boundary here prevents.  The default
+``auto`` impl therefore routes NOTHING; the kernel remains available via
+``SHGAN_FIR=pallas`` (or ``set_fir_impl``) as an fp32-exact oracle — the
+XLA path truncates through the bf16 MXU (~6e-3 abs error at unit scale),
+this kernel holds ~1e-7.
 
 Scope: *valid* stride-1 correlation with a separable T×T filter over an
 already-padded input (upfirdn2d keeps its ``lax.pad`` — including the
@@ -59,11 +64,23 @@ def separable_factor(f2d, tol=1e-6):
     return (tuple(float(v) for v in fcol), tuple(float(v) for v in frow))
 
 
+def _pad_hw(h, w, itemsize):
+    """VMEM footprint of an [h, w] plane after Mosaic tiling: lanes round
+    up to 128, sublanes to the dtype's tile height (32 / itemsize)."""
+    sub = 32 // itemsize
+    return -(-h // sub) * sub * (-(-w // 128) * 128)
+
+
 def _pick_cb(C, hp, wp, ho, wo, itemsize, budget=6 * 2**20):
-    """Largest channel block (divisor of C) whose VMEM working set — input
-    block + fp32 row-pass intermediate + output block — fits the budget."""
-    per = hp * wp * itemsize + ho * wp * 4 + ho * wo * itemsize
-    cb = max(1, min(C, budget // max(per, 1)))
+    """Largest channel block (divisor of C) whose VMEM working set fits the
+    budget: double-buffered input + output blocks (Mosaic pipelines the
+    grid) plus the fp32 row-pass intermediate, all at *padded* tile sizes.
+    Capped at 64: the v5e Mosaic compiler rejects 128-channel blocks of
+    small planes (measured: cb=128 at [512,67,67] fails, cb<=64 compiles)."""
+    per = (2 * _pad_hw(hp, wp, itemsize) * itemsize
+           + _pad_hw(ho, wp, 4) * 4
+           + 2 * _pad_hw(ho, wo, itemsize) * itemsize)
+    cb = max(1, min(C, 64, budget // max(per, 1)))
     while C % cb:
         cb -= 1
     return cb
@@ -154,12 +171,12 @@ def fir_pallas_eligible(x_shape, dtype, fcol, frow):
         return False
     if _IMPL in ("pallas", "interpret"):
         return True
-    # auto: only on TPU, and only when one (1, Hp, Wp) channel block fits
-    # comfortably in VMEM (very large planes fall back to XLA)
-    if jax.default_backend() != "tpu":
-        return False
-    n, c, hp, wp = x_shape
-    itemsize = jnp.dtype(dtype).itemsize
-    per = hp * wp * itemsize + (hp - len(fcol) + 1) * wp * 4 \
-        + (hp - len(fcol) + 1) * (wp - len(frow) + 1) * itemsize
-    return per <= 6 * 2**20
+    # auto = XLA.  Measured on v5e (512² generator, batch 120): routing the
+    # stride-1 FIRs through this kernel is a 2.3× end-to-end LOSS (147 vs
+    # 344 img/s) — XLA's depthwise conv streams at ~690 GB/s vs ~220 GB/s
+    # for this kernel, and the custom-call boundary stops the lax.pad from
+    # fusing into the producer.  The kernel stays as an opt-in
+    # (SHGAN_FIR=pallas) fp32-exact reference: the XLA path truncates
+    # through the bf16 MXU (~6e-3 abs error at unit scale), this kernel
+    # accumulates in fp32 on the VPU (~1e-7).
+    return False

@@ -143,6 +143,14 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1):
 
     if f is None:
         f = np.ones((1, 1), dtype=np.float32)
+    # Filter taps are trace-time constants in every real model.  Keep a host
+    # copy: under jit, jnp ops stage even constants into tracers, so the
+    # kernel-routing decision below must inspect the taps *before* they
+    # enter the trace.  A genuinely traced filter disables the kernel route.
+    try:
+        f_host = np.asarray(f, dtype=np.float32)
+    except Exception:
+        f_host = None
     f = jnp.asarray(f, dtype=jnp.float32)
     assert f.ndim in (1, 2)
 
@@ -168,26 +176,26 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1):
     if not flip_filter:
         f = f[tuple(slice(None, None, -1) for _ in range(f.ndim))]
 
-    # Hot path: stride-1 separable FIR → Pallas VPU kernel (fir_pallas.py).
-    # The lax.pad above stays in XLA where it fuses into the producer; the
-    # kernel computes the remaining valid correlation at HBM bandwidth.
-    if downx == 1 and downy == 1:
+    # Opt-in: stride-1 separable FIR → Pallas VPU kernel (fir_pallas.py).
+    # Default 'auto' routes nothing — the XLA depthwise conv measures
+    # FASTER end-to-end (see fir_pallas.py docstring); the kernel serves
+    # as an fp32-exact oracle via SHGAN_FIR=pallas.
+    if downx == 1 and downy == 1 and f_host is not None:
         from . import fir_pallas
-        try:
-            f_np = np.asarray(f)  # trace-time constant in all real models
-        except Exception:
-            f_np = None
-        if f_np is not None:
-            if f_np.ndim == 1:
-                # 1D = separable by construction; f carries sqrt(gain), so
-                # using it on both axes applies the full gain
-                fac = (tuple(float(v) for v in f_np),
-                       tuple(float(v) for v in f_np))
-            else:
-                fac = fir_pallas.separable_factor(f_np)
-            if fac is not None and fir_pallas.fir_pallas_eligible(
-                    x.shape, x.dtype, fac[0], fac[1]):
-                return fir_pallas.fir_separable_valid(x, fac[0], fac[1])
+        f_np = f_host * (gain ** (f_host.ndim / 2))
+        if not flip_filter:
+            f_np = f_np[tuple(slice(None, None, -1)
+                              for _ in range(f_np.ndim))]
+        if f_np.ndim == 1:
+            # 1D = separable by construction; f carries sqrt(gain), so
+            # using it on both axes applies the full gain
+            fac = (tuple(float(v) for v in f_np),
+                   tuple(float(v) for v in f_np))
+        else:
+            fac = fir_pallas.separable_factor(f_np)
+        if fac is not None and fir_pallas.fir_pallas_eligible(
+                x.shape, x.dtype, fac[0], fac[1]):
+            return fir_pallas.fir_separable_valid(x, fac[0], fac[1])
 
     if f.ndim == 2:
         x = _depthwise_fir(x, f, downx, downy)
