@@ -84,8 +84,14 @@ def get_dataset(cfg, fallback_synthetic=False):
         import sys
         print(f"[shgan_tpu.data] data root missing for {typ!r}; using "
               f"synthetic {res}px dataset (debug fallback)", file=sys.stderr)
-        return SyntheticDataset(resolution=res, length=64,
-                                try_sample=args.get("try_sample"))
+        ds = SyntheticDataset(resolution=res, length=64,
+                              try_sample=args.get("try_sample"))
+        gen_dir = args.get("gen_dir") or cfg.get("gen_dir")
+        if gen_dir:
+            # keep the loadgen pairing in the fallback so a debug
+            # --evalnog_path run still exercises the pregen eval path
+            ds = LoadGenDataset(ds, gen_dir)
+        return ds
 
 
 def _decode_png(data):

@@ -1,0 +1,232 @@
+"""Batch inference engine: production serving of an inpainting generator.
+
+The reference has no serving path — its ``*_loadgen`` datasets *consume* a
+directory of pre-generated images (`/root/reference/lib/data_factory/
+ds_ffhq.py:388-456`, CLI ``--evalnog_path`` at `cfg_helper.py:317,394-397`)
+but nothing in the repo produces one.  This module is the producer, designed
+for TPU serving rather than translated:
+
+* **fixed compiled shapes** — one AOT-compiled forward per (batch, resolution);
+  ragged final batches pad up and strip, so XLA never sees a dynamic shape;
+* **async dispatch window** — device steps for batch *i+1* are enqueued while
+  batch *i* is still in flight (JAX dispatch is asynchronous; the engine only
+  syncs when a result is consumed), overlapping host IO with TPU compute;
+* **on-device postprocess** — mask-composite + uint8 quantization inside the
+  jit (the reference protocol, `shgan_default.py:257-262`), so readback is
+  1 byte/px;
+* **mesh-aware** — params replicate and batches shard over an existing
+  ``jax.sharding.Mesh`` for multi-chip serving.
+
+Determinism: per-image z and per-batch noise keys derive from (seed, global
+index), so a generation run is reproducible and restartable regardless of
+batch size.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .parallel import create_mesh, replicated, shard_batch
+from .data.rng import derive_seed
+
+
+def _as_model_input(images, masks):
+    """Normalize user inputs to (real[-1,1] NCHW f32, mask NCHW f32 {0,1}).
+
+    ``images``: [N,3,H,W] or [N,H,W,3]; uint8 [0,255] or float [-1,1].
+    ``masks``:  [N,H,W] or [N,1,H,W]; bool / {0,1}; 0 = hole, 1 = keep
+    (the sample-tuple contract, ds_ffhq.py:340-345).
+    """
+    images = np.asarray(images)
+    masks = np.asarray(masks)
+    if images.ndim != 4:
+        raise ValueError(f"images must be 4D, got {images.shape}")
+    if images.shape[-1] == 3 and images.shape[1] != 3:
+        images = images.transpose(0, 3, 1, 2)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 127.5 - 1.0
+    else:
+        images = images.astype(np.float32)
+    if masks.ndim == 3:
+        masks = masks[:, None]
+    masks = masks.astype(np.float32)
+    if images.shape[0] != masks.shape[0]:
+        raise ValueError("images/masks batch mismatch")
+    return images, masks
+
+
+class InpaintEngine:
+    """Compiled, batched inpainting inference on one model.
+
+    Args:
+        model_cfg: model-bank name (e.g. ``"shgan_g256"``) or a full model
+            cfg dict.
+        pretrained: optional ``.pth`` state_dict / ``.pkl`` snapshot path.
+        batch_size: the compiled batch; requests pad up to it.
+        mesh: optional existing mesh (default: all local devices, data axis).
+        bf16: run blocks >16² in bfloat16 (the throughput config of
+            ``bench.py``; parity runs keep fp32).
+        noise_mode: 'random' (serving default, like reference eval,
+            shgan_default.py:260) | 'const' | 'none'.
+        seed: base seed for z/noise derivation.
+    """
+
+    def __init__(self, model_cfg, pretrained=None, batch_size=16, mesh=None,
+                 bf16=False, noise_mode="random", seed=0, strict=True):
+        from .runtime.config import model_cfg_bank
+        from .runtime.stages import build_generator
+
+        if isinstance(model_cfg, str):
+            model_cfg = model_cfg_bank()(model_cfg)
+        if bf16:
+            args = model_cfg["args"]
+            args["encoder"]["args"]["use_fp16_before_res"] = 16
+            args["synthesis"]["args"]["use_fp16_after_res"] = 16
+        self.mesh = mesh if mesh is not None else create_mesh()
+        n_dev = int(self.mesh.devices.size)
+        if batch_size % n_dev:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{n_dev} mesh devices")
+        self.batch_size = batch_size
+        self.noise_mode = noise_mode
+        self.seed = seed
+        self.G, params = build_generator(model_cfg, pretrained, strict=strict,
+                                         seed=seed)
+        self.params = jax.device_put(params, replicated(self.mesh))
+        self._fwd = None  # compiled lazily on the first request's (H, W)
+
+    # -- compiled forward ---------------------------------------------------
+
+    def _compile(self, h, w):
+        G, noise_mode = self.G, self.noise_mode
+
+        @jax.jit
+        def fwd(params, real, mask, z, rng_data):
+            rng = jax.random.wrap_key_data(rng_data)
+            x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
+            img = G(params, x, z, noise_mode=noise_mode, rng=rng)
+            combined = real * mask + img * (1 - mask)  # shgan_default.py:257-262
+            return jnp.clip(combined * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
+
+        self._fwd = fwd
+        self._hw = (h, w)
+
+    def _z_for(self, global_indices):
+        return np.stack([
+            np.random.RandomState(derive_seed(self.seed, int(i), 0x5EED))
+            .randn(self.G.z_dim).astype(np.float32) for i in global_indices])
+
+    def _run_padded(self, real, mask, z, batch_key):
+        """Dispatch one full compiled batch; returns the device array
+        (uint8 NCHW) WITHOUT syncing — callers strip padding after."""
+        if self._fwd is None or self._hw != real.shape[2:]:
+            self._compile(*real.shape[2:])
+        real, mask, z = shard_batch((real, mask, z), self.mesh)
+        return self._fwd(self.params, real, mask, z,
+                         np.asarray(jax.random.key_data(batch_key)))
+
+    # -- public API ---------------------------------------------------------
+
+    def inpaint(self, images, masks, start_index=0):
+        """Inpaint a batch of any size; returns uint8 NCHW composites.
+
+        ``start_index`` positions the batch in the deterministic z/noise
+        stream (use the global dataset offset to make chunked runs agree
+        with single-shot runs).
+        """
+        real, mask = _as_model_input(images, masks)
+        n, bs = real.shape[0], self.batch_size
+        outs = []
+        for lo in range(0, n, bs):
+            chunk_r = real[lo:lo + bs]
+            chunk_m = mask[lo:lo + bs]
+            k = chunk_r.shape[0]
+            if k < bs:  # pad the ragged tail up to the compiled shape
+                pad = [(0, bs - k)] + [(0, 0)] * 3
+                chunk_r = np.pad(chunk_r, pad)
+                chunk_m = np.pad(chunk_m, pad, constant_values=1.0)
+            gi = start_index + lo
+            z = self._z_for(range(gi, gi + bs))
+            key = jax.random.fold_in(jax.random.key(self.seed),
+                                     gi // max(bs, 1))
+            outs.append(np.asarray(
+                self._run_padded(chunk_r, chunk_m, z, key))[:k])
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def inpaint_stream(self, batches, start_index=0, window=2):
+        """Stream (images, masks) batches through the engine.
+
+        Yields uint8 NCHW composites per input batch, keeping up to
+        ``window`` device batches in flight so host decode of batch i+1
+        overlaps TPU compute of batch i.  Every input batch must have
+        exactly ``batch_size`` rows except the last.
+        """
+        inflight = []  # [(device_array, valid_rows)]
+        gi = start_index
+        for images, masks in batches:
+            real, mask = _as_model_input(images, masks)
+            k, bs = real.shape[0], self.batch_size
+            if k > bs:
+                raise ValueError(f"stream batch {k} > engine batch {bs}")
+            if k < bs:
+                pad = [(0, bs - k)] + [(0, 0)] * 3
+                real = np.pad(real, pad)
+                mask = np.pad(mask, pad, constant_values=1.0)
+            z = self._z_for(range(gi, gi + bs))
+            key = jax.random.fold_in(jax.random.key(self.seed), gi // bs)
+            inflight.append((self._run_padded(real, mask, z, key), k))
+            gi += k
+            if len(inflight) > window:
+                dev, valid = inflight.pop(0)
+                yield np.asarray(dev)[:valid]
+        for dev, valid in inflight:
+            yield np.asarray(dev)[:valid]
+
+
+def generate_to_dir(engine, dataset, formatter, out_dir, log_every=10,
+                    num_threads=None, log=print):
+    """Run a (real, mask, uid) eval dataset through the engine and write
+    ``<uid>.png`` composites — exactly the directory layout the
+    ``*_loadgen`` datasets / ``--evalnog_path`` flow consumes
+    (data/datasets.py LoadGen, ds_ffhq.py:388-456).
+
+    Uses :class:`~.data.pipeline.EvalPipeline` for the host side, so masks
+    come from the same deterministic per-position RNG stream as a metric
+    run over the same dataset — the generated directory scores identically
+    under loadgen eval.
+    """
+    import timeit
+    from PIL import Image
+    from .data.pipeline import EvalPipeline
+
+    os.makedirs(out_dir, exist_ok=True)
+    n, bs = len(dataset), engine.batch_size
+    pipe = EvalPipeline(dataset, formatter, bs, mesh=None,
+                        seed=engine.seed, num_threads=num_threads)
+
+    meta = []
+
+    def batches():
+        for real, mask, valid, uids in pipe:
+            meta.append((valid, uids))
+            yield real, mask
+
+    t0 = timeit.default_timer()
+    written = 0
+    for bi, out in enumerate(engine.inpaint_stream(batches())):
+        valid, uids = meta[bi]
+        for img, uid, ok in zip(out, uids, valid):
+            if not ok:  # padding rows of the final batch
+                continue
+            Image.fromarray(img.transpose(1, 2, 0)).save(
+                osp.join(out_dir, f"{uid}.png"))
+            written += 1
+        if (bi + 1) % log_every == 0:
+            log(f"generated {written}/{n}, {timeit.default_timer() - t0:.2f}s")
+            t0 = timeit.default_timer()
+    return written

@@ -1,0 +1,150 @@
+"""Serving-engine tests: compiled-batch padding, determinism, composite
+contract, mesh sharding, and the generate→loadgen-eval round trip."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from shgan_tpu.parallel import create_mesh
+from shgan_tpu.serve import InpaintEngine, generate_to_dir
+
+RES = 64
+
+
+def tiny_cfg(res=RES):
+    ACT = "lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)"
+    enc_args = dict(resolution=res, ic_n=4, oc_n=32, ch_base=256, ch_max=8,
+                    use_fp16_before_res=None, resample_filter=[1, 3, 3, 1],
+                    activation=ACT, mbstd_group_size=0, mbstd_c_n=0,
+                    c_dim=None, cmap_dim=None, use_dropout=True,
+                    has_extra_final_layer=False, shu_input_res=16,
+                    shu_lowest_res=4, shu_channels=4,
+                    shu_df_freedom=[2, 3], shu_df_type="piecewise_linear",
+                    shu_tail_sigma_mult=3, shu_gaussian_at_input_res=False)
+    return {"type": "comodgan_generator", "args": {
+        "mapping": {"type": "comodgan_mapping",
+                    "args": dict(z_dim=32, c_dim=0, w_dim=32, num_ws=10,
+                                 num_layers=2, activation=ACT,
+                                 lr_multiplier=0.01)},
+        "encoder": {"type": "shgan_encoder", "args": enc_args},
+        "synthesis": {"type": "comodgan_synthesis",
+                      "args": dict(w_dim=32, w0_dim=32, resolution=res,
+                                   rgb_n=3, ch_base=256, ch_max=8,
+                                   use_fp16_after_res=None,
+                                   resample_filter=[1, 3, 3, 1],
+                                   activation=ACT)}}}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InpaintEngine(tiny_cfg(), batch_size=4, mesh=create_mesh(1),
+                         seed=7)
+
+
+def _inputs(n, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(0, 256, (n, 3, RES, RES), dtype=np.uint8)
+    masks = (rng.rand(n, RES, RES) > 0.4).astype(np.float32)
+    return imgs, masks
+
+
+def test_inpaint_shapes_and_composite(engine):
+    imgs, masks = _inputs(3)
+    out = engine.inpaint(imgs, masks)
+    assert out.shape == (3, 3, RES, RES) and out.dtype == np.uint8
+    # composite contract (shgan_default.py:257-262): kept pixels pass
+    # through up to the uint8 quantization of the [-1,1] round trip
+    keep = masks[:, None].astype(bool) & np.ones_like(out, bool)
+    diff = np.abs(out.astype(int) - imgs.astype(int))[keep]
+    assert diff.max() <= 1
+
+
+def test_padding_invariance(engine):
+    """A ragged batch scores identically to the same rows inside a full
+    batch — padding must not leak into real rows."""
+    imgs, masks = _inputs(4, seed=1)
+    full = engine.inpaint(imgs, masks)
+    ragged = engine.inpaint(imgs[:2], masks[:2])
+    np.testing.assert_array_equal(full[:2], ragged)
+
+
+def test_determinism_and_chunking(engine):
+    imgs, masks = _inputs(4, seed=2)
+    a = engine.inpaint(imgs, masks)
+    b = engine.inpaint(imgs, masks)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_nhwc_and_float_inputs(engine):
+    imgs, masks = _inputs(2, seed=3)
+    nhwc = imgs.transpose(0, 2, 3, 1)
+    a = engine.inpaint(imgs, masks)
+    b = engine.inpaint(nhwc, masks[:, None])  # NHWC + [N,1,H,W] mask
+    np.testing.assert_array_equal(a, b)
+    f = imgs.astype(np.float32) / 127.5 - 1.0
+    c = engine.inpaint(f, masks)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_stream_matches_batch(engine):
+    imgs, masks = _inputs(10, seed=4)
+    whole = engine.inpaint(imgs, masks)
+
+    def batches():
+        for lo in range(0, 10, 4):
+            yield imgs[lo:lo + 4], masks[lo:lo + 4]
+
+    streamed = np.concatenate(list(engine.inpaint_stream(batches())))
+    np.testing.assert_array_equal(whole, streamed)
+
+
+def test_sharded_engine_matches_single():
+    mesh8 = create_mesh()  # all 8 virtual CPU devices
+    if mesh8.devices.size == 1:
+        pytest.skip("needs multi-device mesh")
+    e1 = InpaintEngine(tiny_cfg(), batch_size=8, mesh=create_mesh(1), seed=7)
+    e8 = InpaintEngine(tiny_cfg(), batch_size=8, mesh=mesh8, seed=7)
+    imgs, masks = _inputs(8, seed=5)
+    a = e1.inpaint(imgs, masks).astype(int)
+    b = e8.inpaint(imgs, masks).astype(int)
+    # different compiled programs may round differently exactly at a uint8
+    # quantization boundary — allow off-by-one there
+    assert np.abs(a - b).max() <= 1
+
+
+def test_generate_to_dir_roundtrip(tmp_path):
+    """generate → <uid>.png → loadgen dataset reads the pairs back and the
+    pregen eval path scores them (the full --evalnog_path flow)."""
+    from shgan_tpu.data import get_dataset
+    from shgan_tpu.data.formatters import get_formatter
+
+    engine = InpaintEngine(tiny_cfg(), batch_size=4, mesh=create_mesh(1),
+                           seed=3)
+    ds_cfg = {"type": "synthetic",
+              "args": {"resolution": RES, "length": 6, "seed": 1}}
+    dataset = get_dataset(ds_cfg)
+    formatter = get_formatter({"type": "RandomMaskFormatter",
+                               "args": {"random_flip": False,
+                                        "mask_resolution": RES,
+                                        "impl": "numpy"}})
+    out_dir = str(tmp_path / "gen")
+    n = generate_to_dir(engine, dataset, formatter, out_dir, num_threads=0)
+    assert n == 6
+    files = sorted(osp.basename(p) for p in
+                   __import__("glob").glob(osp.join(out_dir, "*.png")))
+    assert files == [f"syn{i:05d}.png" for i in range(6)]
+
+    # loadgen consumption: the generic LoadGen wrapper over the same base
+    from shgan_tpu.data.datasets import LoadGenDataset
+    lg = LoadGenDataset(dataset, out_dir)
+    el = lg[0]
+    assert el["gen"].shape == el["image"].shape == (3, RES, RES)
+
+    # pregen eval path over the generated dir
+    from shgan_tpu.eval import get_evaluator
+    from shgan_tpu.runtime.stages import eval_stage
+    ev = get_evaluator([{"type": "psnr"}, {"type": "ssim"}])
+    rv = eval_stage._eval_pregen(lg, ev, batch_size=4, log_dir=str(tmp_path),
+                                 num_threads=0)
+    assert np.isfinite(rv["psnr"]) and np.isfinite(rv["ssim"])
