@@ -48,15 +48,24 @@ class FeatureBankEvaluator(BaseEvaluator):
             self.dsstat_use_cache = osp.isfile(self.dsstat_cache_file)
         self.detector = get_detector(detector_weights, detector_params)
 
-    def add_batch(self, fake, real, valid=None, **_):
-        """fake/real: uint8-valued [N, 3, H, W] arrays (0..255)."""
+    def add_batch(self, fake, real, valid=None, fake_dev=None, real_dev=None,
+                  **_):
+        """fake/real: uint8-valued [N, 3, H, W] arrays (0..255).
+
+        ``fake_dev``/``real_dev``: optional on-device copies of the same
+        values; when present the detector consumes them directly, so
+        generator output feeds Inception device-to-device and only the
+        2048-d features ever cross to the host (the numpy args still serve
+        the pixel metrics in the same compose)."""
+        fx = fake if fake_dev is None else fake_dev
+        rx = real if real_dev is None else real_dev
         if self.needs_probs:
-            fake_feat, fake_probs = self.detector.features_and_probs(fake)
+            fake_feat, fake_probs = self.detector.features_and_probs(fx)
         else:
-            fake_feat, fake_probs = self.detector.features(fake), None
+            fake_feat, fake_probs = self.detector.features(fx), None
         real_feat = None
         if self.needs_real and not self.dsstat_use_cache:
-            real_feat = self.detector.features(real)
+            real_feat = self.detector.features(rx)
         fake_feat, fake_probs, real_feat = self._apply_valid(
             [fake_feat, fake_probs, real_feat], valid)
         self.data_fake_feat.append(fake_feat)

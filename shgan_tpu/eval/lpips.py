@@ -126,10 +126,15 @@ class LPIPSEvaluator(BaseEvaluator):
         self.data = []
         self._dist = jax.jit(lpips_distance)
 
-    def add_batch(self, pred, gt, valid=None, **_):
-        """pred/gt in [0, 1] (renormalized to ±1, eva_lpips.py:39-52)."""
-        x0 = jnp.asarray(np.asarray(pred), jnp.float32) * 2 - 1
-        x1 = jnp.asarray(np.asarray(gt), jnp.float32) * 2 - 1
+    def add_batch(self, pred, gt, valid=None, pred_dev=None, gt_dev=None,
+                  **_):
+        """pred/gt in [0, 1] (renormalized to ±1, eva_lpips.py:39-52).
+        ``pred_dev``/``gt_dev``: optional on-device [0,1] copies — used
+        preferentially so the distance net reads device-to-device."""
+        x0 = jnp.asarray(np.asarray(pred) if pred_dev is None else pred_dev,
+                         jnp.float32) * 2 - 1
+        x1 = jnp.asarray(np.asarray(gt) if gt_dev is None else gt_dev,
+                         jnp.float32) * 2 - 1
         d = np.asarray(self._dist(self.params, x0, x1), np.float64)
         (d,) = self._apply_valid([d], valid)
         self.data.append(d)

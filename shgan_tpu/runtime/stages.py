@@ -238,6 +238,17 @@ class eval_stage:
             fake_u8 = jnp.clip(img_combined * 127.5 + 127.5, 0, 255)
             return fake_u8.astype(jnp.uint8)
 
+        @jax.jit
+        def dev_views(fake_u8, real):
+            """On-device evaluator inputs (same formulas as the numpy
+            hand-off below, same f32 dtype — bitwise-identical values):
+            detector 0-255 floats and LPIPS [0,1] pairs.  Feature/LPIPS
+            metrics then read device-to-device; only 2048-d features and
+            per-image distances cross to the host."""
+            f32 = fake_u8.astype(jnp.float32)
+            return {"fake_dev": f32, "real_dev": real * 127.5 + 127.5,
+                    "pred_dev": f32 / 255.0, "gt_dev": (real + 1) / 2}
+
         def local_z(idx):
             """Per-sample z keyed by global dataset position, so the
             (image, z) pairing is invariant to the process layout; each
@@ -266,13 +277,18 @@ class eval_stage:
             # same rows its DataShard formatted (valid/uids are local too)
             fake_np = local_rows(fake).astype(np.float32)
             real_np = local_rows(real)
+            # single-process: also hand the evaluators device views so
+            # the Inception/LPIPS forwards skip the host round trip
+            # (multi-host keeps the numpy path — per-process feature
+            # banks gather later via sync_across_processes)
+            dev = dev_views(fake, real) if jax.process_count() == 1 else {}
             evaluator.add_batch(
                 pred=fake_np / 255.0,
                 gt=(real_np + 1) / 2,
                 fake=fake_np,
                 real=real_np * 127.5 + 127.5,
                 mask=local_rows(mask),
-                fn=uids, valid=valid)
+                fn=uids, valid=valid, **dev)
             if idx % log_display == log_display - 1:
                 print_log("processed.. {}, Time:{:.2f}s".format(
                     idx + 1, timeit.default_timer() - t0))

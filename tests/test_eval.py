@@ -307,3 +307,44 @@ def test_compose_generator_metric_dispatch():
     ev.set_sample_n(4)
     rv = ev.compute()
     assert np.isfinite(rv["ppl"])
+
+
+@pytest.mark.slow
+def test_device_views_match_numpy_path(inception_params):
+    """fake_dev/real_dev (device-to-device detector) and pred_dev/gt_dev
+    (LPIPS) must score identically to the numpy hand-off."""
+    import jax.numpy as jnp
+    from shgan_tpu.eval import FIDEvaluator
+
+    rng = np.random.RandomState(11)
+    fake_u8 = rng.randint(0, 256, (4, 3, 64, 64), dtype=np.uint8)
+    real = (rng.rand(4, 3, 64, 64).astype(np.float32) * 2) - 1
+
+    fake_np = fake_u8.astype(np.float32)
+    real_np255 = real * 127.5 + 127.5
+
+    a = FIDEvaluator(detector_params=inception_params)
+    a.add_batch(fake=fake_np, real=real_np255)
+    b = FIDEvaluator(detector_params=inception_params)
+    b.add_batch(fake=None, real=None,
+                fake_dev=jnp.asarray(fake_u8).astype(jnp.float32),
+                real_dev=jnp.asarray(real) * 127.5 + 127.5)
+    a.set_sample_n(4)
+    b.set_sample_n(4)
+    np.testing.assert_allclose(np.concatenate(a.data_fake_feat),
+                               np.concatenate(b.data_fake_feat),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(a.data_real_feat),
+                               np.concatenate(b.data_real_feat),
+                               rtol=1e-5, atol=1e-5)
+
+    lp = random_lpips_params(jax.random.key(1))
+    la = LPIPSEvaluator(params=lp)
+    la.add_batch(pred=fake_np / 255.0, gt=(real + 1) / 2)
+    lb = LPIPSEvaluator(params=lp)
+    lb.add_batch(pred=None, gt=None,
+                 pred_dev=jnp.asarray(fake_u8).astype(jnp.float32) / 255.0,
+                 gt_dev=(jnp.asarray(real) + 1) / 2)
+    np.testing.assert_allclose(np.concatenate(la.data),
+                               np.concatenate(lb.data),
+                               rtol=1e-5, atol=1e-6)
