@@ -11,11 +11,15 @@ Usage:  python tools/profile_fwd.py [--bs 32] [--res 512] [--bf16]
 from __future__ import annotations
 
 import argparse
+import os.path as osp
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def timeit(fn, *args, iters=6, warmup=2):

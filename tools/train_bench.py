@@ -10,9 +10,13 @@ images/sec.  Usage:
 from __future__ import annotations
 
 import argparse
+import os.path as osp
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main():
@@ -23,6 +27,11 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--remat", action="store_true",
                     help="per-block jax.checkpoint in G and D")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run blocks >16² in bfloat16 (G and D) — the "
+                         "reference's fp16 knob (comodgan.yaml:27,46,58), "
+                         "shipped off there; measured here as the "
+                         "throughput config")
     a = ap.parse_args()
 
     import jax
@@ -40,6 +49,10 @@ def main():
         for sub in ("encoder", "synthesis"):
             cfg_g["args"][sub]["args"]["remat"] = True
         cfg_d["args"]["remat"] = True
+    if a.bf16:
+        cfg_g["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
+        cfg_g["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
+        cfg_d["args"]["use_fp16_before_res"] = 16
     G = get_model(cfg_g)
     D = get_model(cfg_d)
     tc = TrainConfig()
