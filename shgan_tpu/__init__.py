@@ -18,3 +18,21 @@ Reference behaviors are cited inline as `/root/reference/<file>:<line>`.
 """
 
 __version__ = "0.1.0"
+
+_TOP_LEVEL = {
+    "get_model": ("shgan_tpu.models", "get_model"),
+    "get_dataset": ("shgan_tpu.data", "get_dataset"),
+    "get_evaluator": ("shgan_tpu.eval", "get_evaluator"),
+    "InpaintEngine": ("shgan_tpu.serve", "InpaintEngine"),
+    "generate_to_dir": ("shgan_tpu.serve", "generate_to_dir"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps ``import shgan_tpu`` free of jax init)."""
+    try:
+        mod, attr = _TOP_LEVEL[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
+    return getattr(importlib.import_module(mod), attr)
