@@ -64,14 +64,22 @@ def get_dataset(cfg, fallback_synthetic=False):
             args[k] = cfg[k]
     cache = bool(args.pop("cache", None) or cfg.get("cache"))
     pick = args.pop("pick", None) or cfg.get("pick")
+    pick_index = args.pop("pick_index", None) or cfg.get("pick_index")
+    pick_repeat = int(args.pop("pick_repeat", None)
+                      or cfg.get("pick_repeat") or 1)
     try:
         ds = _DATASET_REGISTRY[typ](**args)
         if pick and hasattr(ds, "load_info"):
-            # restrict to given unique_ids (reference --pick /
-            # PickFileEstimator, ds_estimator.py:42-85)
+            # restrict to given unique_ids, optionally repeated (reference
+            # --pick / PickFileEstimator(filelist, repeat_n),
+            # ds_estimator.py:42-65)
             keep = set(pick)
             ds.load_info = [i for i in ds.load_info
-                            if i["unique_id"] in keep]
+                            if i["unique_id"] in keep] * pick_repeat
+        if pick_index and hasattr(ds, "load_info"):
+            # select by dataset position (PickIndexEstimator,
+            # ds_estimator.py:67-85)
+            ds.load_info = [ds.load_info[i] for i in pick_index]
         return CachedDataset(ds) if cache else ds
     except FileNotFoundError:
         if not fallback_synthetic:

@@ -199,3 +199,21 @@ def test_datashard_epoch_changes_masks():
     c = DataShard(ds, fmt, 4, seed=1, epoch=0).get_batch(0)
     assert not np.array_equal(a[1], b[1])
     np.testing.assert_array_equal(a[1], c[1])
+
+
+def test_dataset_pick_estimators():
+    """pick (PickFileEstimator, ds_estimator.py:42-65), pick_repeat, and
+    pick_index (PickIndexEstimator, ds_estimator.py:67-85)."""
+    from shgan_tpu.data import get_dataset
+
+    base = {"type": "synthetic", "args": {"resolution": 16, "length": 8}}
+    ds = get_dataset({**base, "pick": ["syn00002", "syn00005"]})
+    assert [i["unique_id"] for i in ds.load_info] == ["syn00002", "syn00005"]
+
+    ds = get_dataset({**base, "pick": ["syn00001"], "pick_repeat": 3})
+    assert len(ds) == 3
+    assert all(i["unique_id"] == "syn00001" for i in ds.load_info)
+
+    ds = get_dataset({**base, "pick_index": [4, 0, 4]})
+    assert [i["unique_id"] for i in ds.load_info] == \
+        ["syn00004", "syn00000", "syn00004"]
