@@ -61,9 +61,12 @@ class SSIMEvaluator(BaseEvaluator):
         self.window_size = window_size
         self.data_ssim = []
 
-    def add_batch(self, pred, gt, valid=None, **_):
-        pred = jnp.asarray(np.asarray(pred), jnp.float32)
-        gt = jnp.asarray(np.asarray(gt), jnp.float32)
+    def add_batch(self, pred, gt, valid=None, pred_dev=None, gt_dev=None,
+                  **_):
+        pred = jnp.asarray(np.asarray(pred) if pred_dev is None
+                           else pred_dev, jnp.float32)
+        gt = jnp.asarray(np.asarray(gt) if gt_dev is None else gt_dev,
+                         jnp.float32)
         s = np.asarray(compute_ssim(pred, gt, self.window_size), np.float64)
         (s,) = self._apply_valid([s], valid)
         self.data_ssim.append(s)
