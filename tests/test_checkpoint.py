@@ -116,3 +116,29 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   np.asarray(state["params"]["w"]))
     assert int(restored["step"]) == 7
+
+
+def test_pth_export_roundtrip(tmp_path):
+    """save_torch_pth → torch-free reader → identical params; and torch
+    itself can load the file (the reference's consumption path)."""
+    torch = pytest.importorskip("torch")
+    from shgan_tpu.checkpoint import (save_torch_pth, load_torch_pth,
+                                      torch_state_dict_to_params,
+                                      params_to_flat_state_dict)
+
+    rng = np.random.RandomState(0)
+    params = {"mapping": {"fc0": {"weight": rng.randn(8, 4).astype(np.float32),
+                                  "bias": rng.randn(8).astype(np.float32)}},
+              "w_avg": rng.randn(4).astype(np.float32)}
+    p = str(tmp_path / "export.pth")
+    save_torch_pth(p, params)
+
+    back = torch_state_dict_to_params(load_torch_pth(p))
+    np.testing.assert_array_equal(back["mapping"]["fc0"]["weight"],
+                                  params["mapping"]["fc0"]["weight"])
+    np.testing.assert_array_equal(back["w_avg"], params["w_avg"])
+
+    sd = torch.load(p, map_location="cpu", weights_only=True)
+    assert set(sd) == set(params_to_flat_state_dict(params))
+    np.testing.assert_array_equal(sd["mapping.fc0.bias"].numpy(),
+                                  params["mapping"]["fc0"]["bias"])
