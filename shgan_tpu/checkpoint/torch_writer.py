@@ -33,7 +33,10 @@ def save_torch_pth(path, params):
     flat = params
     if any(isinstance(v, dict) for v in flat.values()):
         flat = params_to_flat_state_dict(params)
-    sd = {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+    # np.array(..., order="C") rather than ascontiguousarray: the latter
+    # silently promotes 0-d arrays (noise_strength, w_avg-adjacent scalars)
+    # to shape (1,), which then fails strict shape checks on load
+    sd = {k: torch.from_numpy(np.array(np.asarray(v), order="C"))
           for k, v in flat.items()}
     torch.save(sd, path)
     return path

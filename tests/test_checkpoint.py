@@ -129,7 +129,9 @@ def test_pth_export_roundtrip(tmp_path):
     rng = np.random.RandomState(0)
     params = {"mapping": {"fc0": {"weight": rng.randn(8, 4).astype(np.float32),
                                   "bias": rng.randn(8).astype(np.float32)}},
-              "w_avg": rng.randn(4).astype(np.float32)}
+              "w_avg": rng.randn(4).astype(np.float32),
+              # 0-d: np.ascontiguousarray would promote this to (1,)
+              "noise_strength": np.float32(0.25) * np.ones((), np.float32)}
     p = str(tmp_path / "export.pth")
     save_torch_pth(p, params)
 
@@ -137,6 +139,7 @@ def test_pth_export_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["mapping"]["fc0"]["weight"],
                                   params["mapping"]["fc0"]["weight"])
     np.testing.assert_array_equal(back["w_avg"], params["w_avg"])
+    assert back["noise_strength"].shape == ()
 
     sd = torch.load(p, map_location="cpu", weights_only=True)
     assert set(sd) == set(params_to_flat_state_dict(params))
