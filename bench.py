@@ -68,7 +68,9 @@ def _sweep_candidates(res):
     if env:
         return [int(b) for b in env.split(",") if b.strip()]
     scale = (512 / res) ** 2
-    top = max(8, int(120 * scale) // 8 * 8)
+    # cap at 128: batches beyond that hit pathological TPU compile times
+    # (measured: bs=256 at 256^2 exceeds 13 min remote compile)
+    top = min(128, max(8, int(120 * scale) // 8 * 8))
     return [top, max(8, int(top * 0.8) // 8 * 8)]
 
 
@@ -89,11 +91,17 @@ def _sweep_in_subprocesses(batches):
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
             else ""
         try:
-            return json.loads(line)
+            rec = json.loads(line)
         except json.JSONDecodeError:
             print(f"# batch {bs} subprocess failed (rc={proc.returncode})",
                   file=sys.stderr)
             return None
+        if not rec.get("value"):
+            # the subprocess ran but every batch attempt failed (it still
+            # prints a value-0 record) — don't let 0.0 win the sweep
+            print(f"# batch {bs} produced no measurement", file=sys.stderr)
+            return None
+        return rec
 
     best = None
     for bs in batches:
