@@ -77,7 +77,8 @@ class InpaintEngine:
     """
 
     def __init__(self, model_cfg, pretrained=None, batch_size=16, mesh=None,
-                 bf16=False, noise_mode="random", seed=0, strict=True):
+                 bf16=False, noise_mode="random", seed=0, strict=True,
+                 latency_batches=()):
         from .runtime.config import model_cfg_bank
         from .runtime.stages import build_generator
 
@@ -89,9 +90,15 @@ class InpaintEngine:
             args["synthesis"]["args"]["use_fp16_after_res"] = 16
         self.mesh = mesh if mesh is not None else create_mesh()
         n_dev = int(self.mesh.devices.size)
-        if batch_size % n_dev:
-            raise ValueError(f"batch_size {batch_size} not divisible by "
-                             f"{n_dev} mesh devices")
+        # latency buckets: extra smaller compiled batches — a short request
+        # pads only to the smallest bucket that fits instead of the full
+        # throughput batch (each bucket costs one compile, cached by jit)
+        self.buckets = sorted({int(b) for b in latency_batches}
+                              | {int(batch_size)})
+        for b in self.buckets:
+            if b <= 0 or b % n_dev:
+                raise ValueError(f"batch bucket {b} not divisible by "
+                                 f"{n_dev} mesh devices")
         self.batch_size = batch_size
         self.noise_mode = noise_mode
         self.seed = seed
@@ -138,6 +145,12 @@ class InpaintEngine:
         ``start_index`` positions the batch in the deterministic z/noise
         stream (use the global dataset offset to make chunked runs agree
         with single-shot runs).
+
+        Determinism is per bucket shape: with ``latency_batches`` set, a
+        request served by a smaller bucket draws its noise tensor at that
+        shape, so its random-noise output differs from the same rows
+        served inside the full batch (z and masks are still identical;
+        ``noise_mode='const'|'none'`` engines are bucket-invariant).
         """
         real, mask = _as_model_input(images, masks)
         n, bs = real.shape[0], self.batch_size
@@ -146,12 +159,14 @@ class InpaintEngine:
             chunk_r = real[lo:lo + bs]
             chunk_m = mask[lo:lo + bs]
             k = chunk_r.shape[0]
-            if k < bs:  # pad the ragged tail up to the compiled shape
-                pad = [(0, bs - k)] + [(0, 0)] * 3
+            # smallest compiled bucket that fits this (tail) chunk
+            tgt = next((b for b in self.buckets if b >= k), bs)
+            if k < tgt:
+                pad = [(0, tgt - k)] + [(0, 0)] * 3
                 chunk_r = np.pad(chunk_r, pad)
                 chunk_m = np.pad(chunk_m, pad, constant_values=1.0)
             gi = start_index + lo
-            z = self._z_for(range(gi, gi + bs))
+            z = self._z_for(range(gi, gi + tgt))
             key = jax.random.fold_in(jax.random.key(self.seed),
                                      gi // max(bs, 1))
             outs.append(np.asarray(

@@ -148,3 +148,26 @@ def test_generate_to_dir_roundtrip(tmp_path):
     rv = eval_stage._eval_pregen(lg, ev, batch_size=4, log_dir=str(tmp_path),
                                  num_threads=0)
     assert np.isfinite(rv["psnr"]) and np.isfinite(rv["ssim"])
+
+
+def test_latency_buckets():
+    """A 1-image request on a bucketed engine pads only to the small
+    bucket; with noise_mode='none' the result is bucket-invariant and
+    matches the plain engine."""
+    plain = InpaintEngine(tiny_cfg(), batch_size=4, mesh=create_mesh(1),
+                          seed=7, noise_mode="none")
+    bucketed = InpaintEngine(tiny_cfg(), batch_size=4, mesh=create_mesh(1),
+                             seed=7, noise_mode="none", latency_batches=(1,))
+    assert bucketed.buckets == [1, 4]
+    imgs, masks = _inputs(1, seed=9)
+    np.testing.assert_array_equal(plain.inpaint(imgs, masks),
+                                  bucketed.inpaint(imgs, masks))
+
+
+def test_bucket_divisibility_checked():
+    mesh8 = create_mesh()
+    if mesh8.devices.size == 1:
+        pytest.skip("needs multi-device mesh")
+    with pytest.raises(ValueError):
+        InpaintEngine(tiny_cfg(), batch_size=8, mesh=mesh8,
+                      latency_batches=(3,))
