@@ -68,9 +68,11 @@ def _sweep_candidates(res):
     if env:
         return [int(b) for b in env.split(",") if b.strip()]
     scale = (512 / res) ** 2
-    # cap at 128: batches beyond that hit pathological TPU compile times
-    # (measured: bs=256 at 256^2 exceeds 13 min remote compile)
-    top = min(128, max(8, int(120 * scale) // 8 * 8))
+    # caps (measured on v5e): >128 hits pathological compile times
+    # (bs=256 at 256^2 exceeds 13 min); at 256^2 specifically, 120/128
+    # fail to compile outright while 96 is fine (CLAUDE.md quirk list)
+    cap = 96 if res <= 256 else 128
+    top = min(cap, max(8, int(120 * scale) // 8 * 8))
     return [top, max(8, int(top * 0.8) // 8 * 8)]
 
 

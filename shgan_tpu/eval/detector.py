@@ -32,30 +32,39 @@ _MEMO_SLOTS = 4  # fake + real per batch, with headroom for pregen paths
 class InceptionDetector:
     """Jitted Inception forward with identity-memoized per-batch results.
 
-    Memo entries hold a reference to the input array, which both keys the
-    lookup (``is``) and pins the object so ``id`` reuse cannot alias."""
+    Memo entries hold the input array by WEAK reference: a dead referent
+    cannot match ``is`` against any live array, so ``id`` reuse cannot
+    alias — and large device arrays (the eval stage's ``fake_dev``/
+    ``real_dev`` views) are not pinned in HBM between batches.  Arrays
+    that don't support weakrefs are held strongly (small test inputs)."""
 
     def __init__(self, params):
         self.params = params
         self.has_probs = "fc" in params
         self._feat = jax.jit(inception_features)
         self._feat_probs = jax.jit(inception_features_and_probs)
-        self._memo = []  # [(input_array, feat, probs_or_None)]
+        self._memo = []  # [(ref_or_array, is_weak, feat, probs_or_None)]
 
     def _lookup(self, x, want_probs):
-        for arr, feat, probs in self._memo:
+        for ref, is_weak, feat, probs in self._memo:
+            arr = ref() if is_weak else ref
             if arr is x and (probs is not None or not want_probs):
                 return feat, probs
         return None
 
     def _run(self, x, want_probs):
+        import weakref
         if want_probs:
             feat, probs = self._feat_probs(self.params, x)
             probs = np.asarray(probs, np.float64)
         else:
             feat, probs = self._feat(self.params, x), None
         feat = np.asarray(feat, np.float64)
-        self._memo.append((x, feat, probs))
+        try:
+            entry = (weakref.ref(x), True, feat, probs)
+        except TypeError:
+            entry = (x, False, feat, probs)
+        self._memo.append(entry)
         del self._memo[:-_MEMO_SLOTS]
         return feat, probs
 

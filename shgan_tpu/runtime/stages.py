@@ -227,16 +227,15 @@ class eval_stage:
         # (shgan_default.py:260); parity runs pin noise_mode: const/none
         noise_mode = cfgv.get("noise_mode", "random")
 
+        from ..models.infer import composite_forward, z_for_positions
+
         @jax.jit
         def run_generator(params, real, mask, z, rng_data):
             """composite + uint8 quantize (shgan_default.py:257-262);
             uint8 on device — 4x less device→host readback."""
             rng = jax.random.wrap_key_data(rng_data)
-            x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
-            img = G(params, x, z, noise_mode=noise_mode, rng=rng)
-            img_combined = real * mask + img * (1 - mask)
-            fake_u8 = jnp.clip(img_combined * 127.5 + 127.5, 0, 255)
-            return fake_u8.astype(jnp.uint8)
+            return composite_forward(G, params, real, mask, z, rng,
+                                     noise_mode=noise_mode)
 
         @jax.jit
         def dev_views(fake_u8, real):
@@ -254,12 +253,9 @@ class eval_stage:
             (image, z) pairing is invariant to the process layout; each
             host builds only its own rows and the mesh assembly matches
             the data batch."""
-            from ..data.rng import derive_seed
             lbs = pipe.shard.batch_size
             off = pipe.shard.global_offset + idx * lbs
-            return np.stack([
-                np.random.RandomState(derive_seed(seed, off + j, 0x5EED))
-                .randn(G.z_dim).astype(np.float32) for j in range(lbs)])
+            return z_for_positions(seed, G.z_dim, range(off, off + lbs))
 
         # every process derives the identical key stream from the shared
         # seed; keys cross into jit as host numpy (implicitly replicated

@@ -17,13 +17,18 @@ for TPU serving rather than translated:
 * **mesh-aware** — params replicate and batches shard over an existing
   ``jax.sharding.Mesh`` for multi-chip serving.
 
-Determinism: per-image z and per-batch noise keys derive from (seed, global
-index), so a generation run is reproducible and restartable regardless of
-batch size.
+Determinism: per-image z and masks are keyed by (seed, global position) —
+identical regardless of batch size or restart point.  Synthesis *noise*
+(``noise_mode='random'``, the serving default) is keyed by (seed, batch
+start) and drawn at batch shape, so it is reproducible for the same
+(batch_size, start_index) layout but NOT invariant to re-batching; runs
+that must be bit-stable across layouts should use
+``noise_mode='const'``/``'none'``.
 """
 
 from __future__ import annotations
 
+import copy
 import os
 import os.path as osp
 
@@ -32,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .parallel import create_mesh, replicated, shard_batch
-from .data.rng import derive_seed
+from .models.infer import composite_forward, z_for_positions
 
 
 def _as_model_input(images, masks):
@@ -85,6 +90,9 @@ class InpaintEngine:
         if isinstance(model_cfg, str):
             model_cfg = model_cfg_bank()(model_cfg)
         if bf16:
+            # deep copy: never mutate the caller's cfg dict (an fp32
+            # parity engine built later from the same dict must stay fp32)
+            model_cfg = copy.deepcopy(model_cfg)
             args = model_cfg["args"]
             args["encoder"]["args"]["use_fp16_before_res"] = 16
             args["synthesis"]["args"]["use_fp16_after_res"] = 16
@@ -114,19 +122,17 @@ class InpaintEngine:
 
         @jax.jit
         def fwd(params, real, mask, z, rng_data):
+            # the canonical eval/serving output protocol — shared with
+            # the eval stage so generated dirs score identically
             rng = jax.random.wrap_key_data(rng_data)
-            x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
-            img = G(params, x, z, noise_mode=noise_mode, rng=rng)
-            combined = real * mask + img * (1 - mask)  # shgan_default.py:257-262
-            return jnp.clip(combined * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
+            return composite_forward(G, params, real, mask, z, rng,
+                                     noise_mode=noise_mode)
 
         self._fwd = fwd
         self._hw = (h, w)
 
     def _z_for(self, global_indices):
-        return np.stack([
-            np.random.RandomState(derive_seed(self.seed, int(i), 0x5EED))
-            .randn(self.G.z_dim).astype(np.float32) for i in global_indices])
+        return z_for_positions(self.seed, self.G.z_dim, global_indices)
 
     def _run_padded(self, real, mask, z, batch_key):
         """Dispatch one full compiled batch; returns the device array
@@ -142,15 +148,16 @@ class InpaintEngine:
     def inpaint(self, images, masks, start_index=0):
         """Inpaint a batch of any size; returns uint8 NCHW composites.
 
-        ``start_index`` positions the batch in the deterministic z/noise
-        stream (use the global dataset offset to make chunked runs agree
-        with single-shot runs).
+        ``start_index`` positions the batch in the deterministic z stream
+        (use the global dataset offset so z/mask pairings agree between
+        chunked and single-shot runs).
 
-        Determinism is per bucket shape: with ``latency_batches`` set, a
-        request served by a smaller bucket draws its noise tensor at that
-        shape, so its random-noise output differs from the same rows
-        served inside the full batch (z and masks are still identical;
-        ``noise_mode='const'|'none'`` engines are bucket-invariant).
+        Random noise is keyed by the chunk's global start and drawn at
+        the compiled shape: identical runs reproduce exactly, but
+        re-batching (a different batch_size, or a smaller latency bucket
+        serving the same rows) changes the noise draw.  z and masks are
+        layout-invariant; ``noise_mode='const'|'none'`` engines are fully
+        layout-invariant.
         """
         real, mask = _as_model_input(images, masks)
         n, bs = real.shape[0], self.batch_size
@@ -167,8 +174,10 @@ class InpaintEngine:
                 chunk_m = np.pad(chunk_m, pad, constant_values=1.0)
             gi = start_index + lo
             z = self._z_for(range(gi, gi + tgt))
-            key = jax.random.fold_in(jax.random.key(self.seed),
-                                     gi // max(bs, 1))
+            # noise key from the batch's global START (not gi // bs): a
+            # run restarted at any start_index reproduces the same noise
+            # for the same chunk boundaries
+            key = jax.random.fold_in(jax.random.key(self.seed), gi)
             outs.append(np.asarray(
                 self._run_padded(chunk_r, chunk_m, z, key))[:k])
         return np.concatenate(outs) if len(outs) > 1 else outs[0]
@@ -193,7 +202,7 @@ class InpaintEngine:
                 real = np.pad(real, pad)
                 mask = np.pad(mask, pad, constant_values=1.0)
             z = self._z_for(range(gi, gi + bs))
-            key = jax.random.fold_in(jax.random.key(self.seed), gi // bs)
+            key = jax.random.fold_in(jax.random.key(self.seed), gi)
             inflight.append((self._run_padded(real, mask, z, key), k))
             gi += k
             if len(inflight) > window:

@@ -99,6 +99,7 @@ def test_stream_matches_batch(engine):
     np.testing.assert_array_equal(whole, streamed)
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_single():
     mesh8 = create_mesh()  # all 8 virtual CPU devices
     if mesh8.devices.size == 1:
@@ -113,6 +114,7 @@ def test_sharded_engine_matches_single():
     assert np.abs(a - b).max() <= 1
 
 
+@pytest.mark.slow
 def test_generate_to_dir_roundtrip(tmp_path):
     """generate → <uid>.png → loadgen dataset reads the pairs back and the
     pregen eval path scores them (the full --evalnog_path flow)."""
@@ -150,6 +152,7 @@ def test_generate_to_dir_roundtrip(tmp_path):
     assert np.isfinite(rv["psnr"]) and np.isfinite(rv["ssim"])
 
 
+@pytest.mark.slow
 def test_latency_buckets():
     """A 1-image request on a bucketed engine pads only to the small
     bucket; with noise_mode='none' the result is bucket-invariant and

@@ -42,7 +42,11 @@ def main():
     else:
         from shgan_tpu.checkpoint.orbax_io import load_checkpoint
         state = load_checkpoint(args.snapshot)
-        params = state[args.key] if args.key in state else state
+        if args.key not in state:
+            raise SystemExit(
+                f"--key {args.key!r} not in snapshot; available: "
+                f"{sorted(state)}")
+        params = state[args.key]
 
     save_torch_pth(args.out, params)
     n = len(params)
