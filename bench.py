@@ -171,11 +171,13 @@ def main():
     G = get_model(cfg)
     params = G.init(jax.random.key(0))
 
+    from shgan_tpu.models.infer import composite_forward
+
     def forward(params, real, mask, z, key):
-        x = jnp.concatenate([mask - 0.5, real * mask], axis=1)
-        img = G(params, x, z, noise_mode="random", rng=key)
-        combined = real * mask + img * (1 - mask)
-        return jnp.clip(combined * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
+        # the shared eval/serving protocol (models/infer.py) — the bench
+        # measures exactly what the eval stage and engine run
+        return composite_forward(G, params, real, mask, z, key,
+                                 noise_mode="random")
 
     # Timing methodology: every iteration ends with a host readback of one
     # output pixel — block_until_ready alone is not a reliable fence on
