@@ -223,6 +223,7 @@ def test_feature_metrics_registered_path(tmp_path, inception_params,
     assert set(saved) >= {"fid", "kid", "pr", "is"}
 
 
+@pytest.mark.slow  # pays the 39 s inception_params fixture build
 def test_pr_identical_sets_perfect(inception_params):
     from shgan_tpu.eval import PREvaluator
     rng = np.random.RandomState(3)
