@@ -132,8 +132,17 @@ def main():
     # log dir layout: log/<model>_<dataset>/<expid>/<eval_tag|train>
     # (cfg_helper.py:524-564)
     section = "eval" if is_eval else "train"
-    expid = (cfg[section].get("experiment_id")
-             or int(time.time() * 100))
+    expid = cfg[section].get("experiment_id")
+    if not expid:
+        expid = int(time.time() * 100)
+        if proc_n > 1:
+            # every process must derive the SAME run identity (log_dir
+            # feeds caches/snapshots); per-process clocks differ by ms —
+            # broadcast the lead's timestamp
+            from jax.experimental import multihost_utils
+            import numpy as _np
+            expid = int(multihost_utils.broadcast_one_to_all(
+                _np.int64(expid)))
     if args.signature:
         # reference: signature suffixes the train run dir
         # (cfg_helper.py:524-540)

@@ -25,7 +25,9 @@ This module parses both with only ``pickle`` + ``numpy``:
   do we — callers get the raw TF parameter dict.
 
 Anything outside the allowlist (torch rebuild helpers, torch.nn / reference
-model-zoo classes, OrderedDict, numpy, builtins) refuses to unpickle.
+model-zoo classes, OrderedDict, and an explicit set of side-effect-free
+numpy/builtins constructors) refuses to unpickle; the framing pickles of
+legacy storage streams admit primitives only.
 """
 
 from __future__ import annotations
@@ -37,7 +39,21 @@ import struct
 import numpy as np
 
 from .torch_reader import (_DTYPE_BY_STORAGE, _AttrDict, _StorageType,
-                           _rebuild_tensor_v2, _rebuild_parameter)
+                           _rebuild_tensor_v2, _rebuild_parameter,
+                           safe_stdlib_class)
+
+
+class _PrimitiveUnpickler(pickle.Unpickler):
+    """For the framing pickles of a legacy storage stream (magic number,
+    protocol, sys_info, key list): primitives only, no classes at all."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"refusing {module}.{name} in legacy-storage framing")
+
+
+def _load_primitive(f):
+    return _PrimitiveUnpickler(f).load()
 
 _STUB_PREFIXES = ("torch.nn.", "torch.optim.", "lib.", "easydict")
 
@@ -67,11 +83,11 @@ def _storage_from_bytes(blob):
     """Parse the legacy torch.save stream embedded by Tensor.__reduce_ex__
     (torch.storage._load_from_bytes) into a flat numpy array."""
     f = io.BytesIO(bytes(blob))
-    magic = pickle.load(f)
+    magic = _load_primitive(f)
     if magic != 0x1950A86A20F9469CFC6C:
         raise pickle.UnpicklingError("bad legacy-storage magic number")
-    pickle.load(f)  # protocol_version
-    pickle.load(f)  # sys_info
+    _load_primitive(f)  # protocol_version
+    _load_primitive(f)  # sys_info
     spec = {}
 
     class _P(pickle.Unpickler):
@@ -93,7 +109,7 @@ def _storage_from_bytes(blob):
     obj = _P(f).load()
     if obj is not spec:
         raise pickle.UnpicklingError("legacy storage stream: unexpected obj")
-    keys = pickle.load(f)
+    keys = _load_primitive(f)
     arrays = {}
     for key in keys:
         (numel,) = struct.unpack("<q", f.read(8))
@@ -123,11 +139,7 @@ class _SnapshotUnpickler(pickle.Unpickler):
             return _TFNetworkStub
         if module.startswith(tuple(self.stub_prefixes)):
             return _stub_class(module, name)
-        if module in ("numpy", "numpy.core.multiarray",
-                      "numpy._core.multiarray", "builtins"):
-            return super().find_class(module, name)
-        raise pickle.UnpicklingError(
-            f"refusing to unpickle {module}.{name} from snapshot")
+        return safe_stdlib_class(module, name, super().find_class)
 
 
 def _module_state_dict(stub, prefix=""):

@@ -72,6 +72,30 @@ def _rebuild_parameter(data, requires_grad=True, backward_hooks=None):
     return data
 
 
+# Explicit allowlists for the stdlib/numpy names a tensor checkpoint can
+# legitimately reference.  A blanket `builtins` passthrough would hand a
+# crafted pickle eval/exec/getattr via REDUCE — side-effect-free
+# constructors only.
+_SAFE_BUILTINS = frozenset({
+    "list", "dict", "tuple", "set", "frozenset", "slice", "complex",
+    "bytearray", "range", "int", "float", "bool", "str", "bytes",
+})
+_SAFE_NUMPY = frozenset({
+    "ndarray", "dtype", "scalar", "_reconstruct", "_frombuffer",
+})
+
+
+def safe_stdlib_class(module, name, fallback):
+    """Resolve an allowlisted builtins/numpy name, else refuse."""
+    if module == "builtins" and name in _SAFE_BUILTINS:
+        return fallback(module, name)
+    if module in ("numpy", "numpy.core.multiarray",
+                  "numpy._core.multiarray") and name in _SAFE_NUMPY:
+        return fallback(module, name)
+    raise pickle.UnpicklingError(
+        f"refusing to unpickle {module}.{name} from checkpoint")
+
+
 class _Unpickler(pickle.Unpickler):
     def __init__(self, file, zf, prefix):
         super().__init__(file)
@@ -92,12 +116,7 @@ class _Unpickler(pickle.Unpickler):
             return _AttrDict
         if module == "torch.serialization" and name == "_get_layout":
             return lambda *a, **k: None
-        if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
-            return super().find_class(module, name)
-        if module == "builtins":
-            return super().find_class(module, name)
-        raise pickle.UnpicklingError(
-            f"refusing to unpickle {module}.{name} from checkpoint")
+        return safe_stdlib_class(module, name, super().find_class)
 
     def persistent_load(self, pid):
         kind = pid[0]

@@ -69,9 +69,14 @@ class InceptionDetector:
         return feat, probs
 
     def features(self, x):
-        """x: uint8-valued [N, 3, H, W] → [N, 2048] float64 features."""
+        """x: uint8-valued [N, 3, H, W] → [N, 2048] float64 features.
+
+        When the params carry the classifier head, probs are computed up
+        front (one matmul+softmax on top of the shared trunk) so a later
+        ``features_and_probs`` on the same batch is a memo hit — a compose
+        like [fid, kid, pr, is] really costs ONE Inception pass."""
         hit = self._lookup(x, want_probs=False)
-        return hit[0] if hit is not None else self._run(x, False)[0]
+        return hit[0] if hit is not None else self._run(x, self.has_probs)[0]
 
     def features_and_probs(self, x):
         """→ ([N, 2048] features, [N, 1008] softmax probs), both float64."""

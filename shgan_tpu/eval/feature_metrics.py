@@ -45,7 +45,16 @@ class FeatureBankEvaluator(BaseEvaluator):
         if dsstat_cachefile_tag is not None and self.needs_real:
             self.dsstat_cache_file = osp.join(
                 cache_dir, dsstat_cachefile_tag + "_real_feat.npy")
-            self.dsstat_use_cache = osp.isfile(self.dsstat_cache_file)
+            import jax
+            if jax.process_count() > 1:
+                # the use-cache decision must be uniform across processes
+                # (sync_across_processes pairs collectives by which banks
+                # are non-empty) but isfile() is per-host disk state —
+                # multi-host runs always recompute real features; only
+                # the lead writes the cache for later single-host runs
+                self.dsstat_use_cache = False
+            else:
+                self.dsstat_use_cache = osp.isfile(self.dsstat_cache_file)
         self.detector = get_detector(detector_weights, detector_params)
 
     def add_batch(self, fake, real, valid=None, fake_dev=None, real_dev=None,

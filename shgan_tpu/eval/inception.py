@@ -179,11 +179,15 @@ def inception_features_and_probs(params, x_uint8):
     softmax class probabilities from the classifier head (the reference's
     IS input — `inception_score.py:27-29` consumes detector ``softmax``
     outputs; the pytorch-fid graph keeps the same 1008-class fc as the
-    TF ``inception-2015-12-05`` detector)."""
+    TF ``inception-2015-12-05`` detector).
+
+    The fc BIAS is deliberately not applied: the reference scores IS with
+    ``detector_kwargs = dict(no_output_bias=True)`` "to match the original
+    implementation" (`inception_score.py:20`)."""
     feat = inception_features(params, x_uint8)
     fc = params["fc"]
     w = fc["w"].reshape(fc["w"].shape[0], -1)  # [1008, 2048] (or conv-shaped)
-    logits = feat @ w.T.astype(feat.dtype) + fc["b"].astype(feat.dtype)
+    logits = feat @ w.T.astype(feat.dtype)
     return feat, jax.nn.softmax(logits, axis=-1)
 
 

@@ -145,11 +145,14 @@ def draw_demo_grid(G, params, dataset, formatter, log_dir, z_dim,
 def _num_workers(cfg_section, n_dev):
     """Host pipeline worker threads from config (the reference's
     dataset_num_workers[_per_gpu], shgan_default.py:193-201); None →
-    auto (host core count)."""
+    auto (host core count).  The per-gpu knob scales by the devices THIS
+    process drives (like a torch DataLoader per rank), not the global
+    mesh size — on multi-host, each host threads for its own chips."""
     w = cfg_section.get("dataset_num_workers")
     if w is None:
         per = cfg_section.get("dataset_num_workers_per_gpu")
-        w = per * n_dev if per is not None else None
+        if per is not None:
+            w = per * min(n_dev, jax.local_device_count())
     return w
 
 
@@ -283,7 +286,12 @@ class eval_stage:
                 gt=(real_np + 1) / 2,
                 fake=fake_np,
                 real=real_np * 127.5 + 127.5,
-                mask=local_rows(mask),
+                # masks are consumed only by the generator-in-the-loop
+                # metrics (PPL contexts) — skip the per-batch device→host
+                # mask readback for everything else
+                mask=(local_rows(mask)
+                      if getattr(evaluator, "needs_generator", False)
+                      else None),
                 fn=uids, valid=valid, **dev)
             if idx % log_display == log_display - 1:
                 print_log("processed.. {}, Time:{:.2f}s".format(

@@ -211,8 +211,9 @@ def test_feature_metrics_registered_path(tmp_path, inception_params,
     fake = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
     real = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
     ev.add_batch(fake=fake, real=real)
-    # fake feat, real feat, fake feat+probs — NOT 7 independent passes
-    assert len(runs) == 3
+    # fake (feat+probs computed up front so the later 'is' call memo-hits)
+    # and real — NOT 7 independent passes
+    assert runs == [True, True]
     ev.set_sample_n(8)
     rv = ev.compute()
     assert np.isfinite(rv["fid"]) and np.isfinite(rv["kid"])

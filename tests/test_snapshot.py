@@ -191,3 +191,29 @@ def test_build_generator_from_snapshot(ref, tmp_path):
     got = np.asarray(g(params, jnp.asarray(x), jnp.asarray(z),
                        noise_mode="const"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_snapshot_refuses_dangerous_builtins(tmp_path):
+    """The allowlist admits only side-effect-free constructors — a pickle
+    that REDUCEs builtins.exec/eval/getattr must refuse, and legacy
+    storage framing admits primitives only."""
+    import pickle
+    import pytest
+    from shgan_tpu.checkpoint.snapshot import (load_network_snapshot,
+                                               _load_primitive)
+
+    class Evil:
+        def __reduce__(self):
+            return (exec, ("import os",))
+
+    p = tmp_path / "evil.pkl"
+    p.write_bytes(pickle.dumps({"G": Evil()}))
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_network_snapshot(str(p))
+
+    import io
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        _load_primitive(io.BytesIO(pickle.dumps(Evil())))
+    # primitives still load
+    assert _load_primitive(io.BytesIO(pickle.dumps([1, "a", {2: 3}]))) \
+        == [1, "a", {2: 3}]
