@@ -20,7 +20,10 @@ import time
 
 def get_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--experiment", type=str, required=True)
+    p.add_argument("--experiment", type=str, default=None,
+                   help="experiment-bank name (not needed with "
+                        "--resume_path, which re-reads the run's saved "
+                        "config)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--eval", type=int, default=None,
                    help="run eval only, tagging with this experiment id")
@@ -63,6 +66,16 @@ def main():
                                           apply_debug_shrink)
     from shgan_tpu.runtime.logging import print_log, set_log_file
     from shgan_tpu.runtime.stages import eval_stage, train_stage
+
+    if args.resume_path is not None and args.eval is None:
+        # --resume_path ALONE reconstructs the run: the solved cfg comes
+        # from the run dir's dumped config.yaml, training resumes into
+        # the same log dir, and CLI env overrides apply on top
+        # (reference cfg_helper.py:422-462)
+        return _resume_main(args)
+    if args.experiment is None:
+        raise SystemExit("--experiment is required (or --resume_path to "
+                         "continue a saved run)")
 
     cfg = experiment_cfg_bank()(args.experiment)
 
@@ -124,11 +137,6 @@ def main():
         for sec in ("train", "eval"):
             if cfg.get(sec) and cfg[sec].get("dataset") is not None:
                 cfg[sec]["dataset"]["cache"] = True
-    if args.resume_path is not None and cfg.get("train") is not None:
-        cfg["train"]["resume_path"] = args.resume_path
-        if args.resume_itern is not None:
-            cfg["train"]["resume_itern"] = args.resume_itern
-
     # log dir layout: log/<model>_<dataset>/<expid>/<eval_tag|train>
     # (cfg_helper.py:524-564)
     section = "eval" if is_eval else "train"
@@ -150,7 +158,9 @@ def main():
     model_sym = cfg.get("model", {}).get("symbol", "model")
     ds_name = cfg[section]["dataset"].get("name", "dataset")
     tag = cfg[section].get("eval_tag", section) if is_eval else "train"
-    log_dir = osp.join(cfg["env"].get("log_root_dir", "log"),
+    log_root = (os.environ.get("SHGAN_LOG_ROOT")
+                or cfg["env"].get("log_root_dir", "log"))
+    log_dir = osp.join(log_root,
                        f"{model_sym}_{ds_name}", str(expid), tag)
     os.makedirs(log_dir, exist_ok=True)
     cfg[section]["log_dir"] = log_dir
@@ -197,6 +207,41 @@ def main():
         cfg["eval"]["demo_only"] = True
     stage = eval_stage() if is_eval else train_stage()
     rv = stage(cfg)
+    print_log("done.")
+    return rv
+
+
+def _resume_main(args):
+    """``--resume_path``-only training resume (cfg_helper.py:422-462):
+    re-read the run's solved config.yaml, pick the snapshot, continue in
+    the SAME log dir with a resume banner in the same train.log."""
+    from shgan_tpu.parallel import is_lead
+    from shgan_tpu.runtime.config import load_resume_run, apply_debug_shrink
+    from shgan_tpu.runtime.logging import print_log, set_log_file
+    from shgan_tpu.runtime.stages import train_stage
+
+    cfg, snap = load_resume_run(args.resume_path, args.resume_itern)
+    # CLI env overrides apply on top of the reconstructed cfg (the
+    # reference's cfg_resume.env.update(cfg.env))
+    if args.seed is not None:
+        cfg["env"]["rnd_seed"] = args.seed
+    if args.gpu is not None:
+        cfg["env"]["mesh_devices"] = len(args.gpu)
+    if args.debug:
+        cfg = apply_debug_shrink(cfg)
+    cfg["train"]["resume_path"] = snap
+    if args.resume_itern is not None:
+        cfg["train"]["resume_itern"] = args.resume_itern
+
+    log_dir = cfg["train"]["log_dir"]
+    os.makedirs(log_dir, exist_ok=True)
+    if is_lead():
+        set_log_file(osp.join(log_dir, "train.log"))
+    print_log("##########")
+    print_log("# resume #")
+    print_log("##########")
+    print_log(f"resuming {log_dir} from {snap}")
+    rv = train_stage()(cfg)
     print_log("done.")
     return rv
 

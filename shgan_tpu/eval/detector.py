@@ -24,7 +24,7 @@ import numpy as np
 import jax
 
 from .inception import (inception_features, inception_features_and_probs,
-                        load_inception_params)
+                        inception_probs_from_features, load_inception_params)
 
 _MEMO_SLOTS = 4  # fake + real per batch, with headroom for pregen paths
 
@@ -43,13 +43,14 @@ class InceptionDetector:
         self.has_probs = "fc" in params
         self._feat = jax.jit(inception_features)
         self._feat_probs = jax.jit(inception_features_and_probs)
+        self._head = jax.jit(inception_probs_from_features)
         self._memo = []  # [(ref_or_array, is_weak, feat, probs_or_None)]
 
-    def _lookup(self, x, want_probs):
-        for ref, is_weak, feat, probs in self._memo:
+    def _find(self, x):
+        for i, (ref, is_weak, _, _) in enumerate(self._memo):
             arr = ref() if is_weak else ref
-            if arr is x and (probs is not None or not want_probs):
-                return feat, probs
+            if arr is x:
+                return i
         return None
 
     def _run(self, x, want_probs):
@@ -71,17 +72,27 @@ class InceptionDetector:
     def features(self, x):
         """x: uint8-valued [N, 3, H, W] → [N, 2048] float64 features.
 
-        When the params carry the classifier head, probs are computed up
-        front (one matmul+softmax on top of the shared trunk) so a later
-        ``features_and_probs`` on the same batch is a memo hit — a compose
-        like [fid, kid, pr, is] really costs ONE Inception pass."""
-        hit = self._lookup(x, want_probs=False)
-        return hit[0] if hit is not None else self._run(x, self.has_probs)[0]
+        Never touches the classifier head — a plain FID/KID/PR run costs
+        only the trunk for both streams.  If an IS metric later asks for
+        probs of the same batch, :meth:`features_and_probs` upgrades the
+        memo entry with the head alone (one [N,2048]×[2048,1008] matmul),
+        so a compose like [fid, kid, pr, is] still pays ONE trunk pass."""
+        i = self._find(x)
+        if i is not None:
+            return self._memo[i][2]
+        return self._run(x, want_probs=False)[0]
 
     def features_and_probs(self, x):
         """→ ([N, 2048] features, [N, 1008] softmax probs), both float64."""
-        hit = self._lookup(x, want_probs=True)
-        return hit if hit is not None else self._run(x, True)
+        i = self._find(x)
+        if i is not None:
+            ref, is_weak, feat, probs = self._memo[i]
+            if probs is None:
+                # head-only upgrade from the memoized trunk features
+                probs = np.asarray(self._head(self.params, feat), np.float64)
+                self._memo[i] = (ref, is_weak, feat, probs)
+            return feat, probs
+        return self._run(x, True)
 
 
 _BY_PATH = {}

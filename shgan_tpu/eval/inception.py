@@ -185,10 +185,18 @@ def inception_features_and_probs(params, x_uint8):
     ``detector_kwargs = dict(no_output_bias=True)`` "to match the original
     implementation" (`inception_score.py:20`)."""
     feat = inception_features(params, x_uint8)
+    return feat, inception_probs_from_features(params, feat)
+
+
+def inception_probs_from_features(params, feat):
+    """[N, 2048] pool features → [N, 1008] softmax probs (the classifier
+    head alone — lets a features-only pass be upgraded to probs without
+    re-running the trunk)."""
+    feat = feat.astype(jnp.float32)
     fc = params["fc"]
     w = fc["w"].reshape(fc["w"].shape[0], -1)  # [1008, 2048] (or conv-shaped)
     logits = feat @ w.T.astype(feat.dtype)
-    return feat, jax.nn.softmax(logits, axis=-1)
+    return jax.nn.softmax(logits, axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -74,8 +74,13 @@ def local_rows(arr):
 def allgather_rows(arr):
     """Concatenate per-process ``[n_p, ...]`` host arrays across processes
     in process order (contiguous shards → global dataset order).  Row
-    counts may differ per process (validity-masked rows); float64 rides as
-    float32 (the device transport dtype)."""
+    counts may differ per process (validity-masked rows).
+
+    Rows ride the gather as raw bytes, so every dtype survives bit-exactly
+    — in particular the float64 Inception feature banks (FID covariance is
+    precision-sensitive at 50k samples) and bool validity rows, which a
+    device-dtype transport would silently downcast to float32 / uint8.
+    """
     import jax
 
     if jax.process_count() == 1:
@@ -83,18 +88,19 @@ def allgather_rows(arr):
     from jax.experimental import multihost_utils as mhu
 
     arr = np.asarray(arr)
-    if arr.dtype == np.float64:
-        arr = arr.astype(np.float32)
-    elif arr.dtype == np.bool_:
-        arr = arr.astype(np.uint8)
+    dtype, tail = arr.dtype, arr.shape[1:]
+    n = arr.shape[0]
+    row_elems = int(np.prod(tail, dtype=np.int64)) if tail else 1
+    rows = np.ascontiguousarray(arr).reshape(n, row_elems).view(np.uint8)
     counts = np.asarray(mhu.process_allgather(
-        np.asarray([arr.shape[0]], np.int32))).reshape(-1)
+        np.asarray([n], np.int32))).reshape(-1)
     m = int(counts.max())
     if m == 0:
         return arr[:0]
-    if arr.shape[0] < m:
-        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
-        arr = np.concatenate([arr, pad], axis=0)
-    gathered = np.asarray(mhu.process_allgather(arr))  # [P, m, ...]
-    return np.concatenate(
+    if n < m:
+        rows = np.concatenate(
+            [rows, np.zeros((m - n, rows.shape[1]), np.uint8)], axis=0)
+    gathered = np.asarray(mhu.process_allgather(rows))  # [P, m, row_bytes]
+    out = np.concatenate(
         [gathered[p, :counts[p]] for p in range(len(counts))], axis=0)
+    return out.view(dtype).reshape((out.shape[0],) + tail)

@@ -211,6 +211,63 @@ class experiment_cfg_bank(_Bank):
         return cfg
 
 
+def load_resume_run(resume_path, resume_itern=None):
+    """Reconstruct a training run from its dumped ``config.yaml``
+    (reference `cfg_helper.py:422-462`): ``--resume_path`` alone rebuilds
+    the exact original solved cfg and resumes into the SAME log dir, so a
+    resume can never silently diverge from the run it continues.
+
+    ``resume_path`` may be the run's log dir (the one holding
+    ``config.yaml``), its ``weight/`` dir, or a concrete snapshot dir
+    inside ``weight/``.  The snapshot picked is (in order): the one
+    matching ``resume_itern`` (kimg, reference ``--resume_itern``
+    semantics), the explicitly-named one, else the latest numeric
+    ``network-snapshot-*``.
+
+    Returns ``(cfg, snapshot_path)``.
+    """
+    import glob
+
+    rp = osp.abspath(resume_path)
+    run_dir = None
+    for cand in (rp, osp.dirname(rp), osp.dirname(osp.dirname(rp))):
+        if osp.isfile(osp.join(cand, "config.yaml")):
+            run_dir = cand
+            break
+    if run_dir is None:
+        raise FileNotFoundError(
+            f"no config.yaml found at or above {resume_path!r} — "
+            "--resume_path must point into a run dir whose launch dumped "
+            "the solved config (main.py writes it)")
+    with open(osp.join(run_dir, "config.yaml")) as f:
+        cfg = Config.wrap(yaml.safe_load(f))
+    if cfg.get("train") is None:
+        raise ValueError(f"{run_dir}/config.yaml has no train section — "
+                         "not a training run")
+
+    weight_dir = osp.join(run_dir, "weight")
+    if resume_itern is not None:
+        snap = osp.join(weight_dir,
+                        "network-snapshot-{:06d}".format(resume_itern))
+        if not osp.exists(snap):
+            raise FileNotFoundError(snap)
+    elif rp != run_dir and osp.basename(rp).startswith("network-snapshot"):
+        snap = rp
+    else:
+        import re
+        # strict name match: a hard-killed run can leave orbax's atomic-
+        # write tmp dirs (*.orbax-checkpoint-tmp-*) next to good snapshots
+        snaps = sorted(
+            p for p in glob.glob(
+                osp.join(weight_dir, "network-snapshot-*"))
+            if re.fullmatch(r"network-snapshot-\d+", osp.basename(p)))
+        if not snaps:
+            raise FileNotFoundError(
+                f"no network-snapshot-* under {weight_dir}")
+        snap = snaps[-1]
+    return cfg, snap
+
+
 def apply_debug_shrink(cfg):
     """--debug shrink: tiny batches, few samples, no workers
     (cfg_helper.py:262-290)."""

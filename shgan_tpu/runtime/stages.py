@@ -519,14 +519,14 @@ class train_stage:
         name = ("network-snapshot-{}".format(tag) if tag else
                 "network-snapshot-{:06d}".format(cur_nimg // 1000))
         path = osp.join(log_dir, "weight", name)
-        if jax.process_count() > 1:
-            # state is replicated; the lead process writes its host copy
-            # (reference RANK==0 pickle convention)
-            if not is_lead():
-                return
-            state = jax.device_get(state)
+        # EVERY process enters the save: orbax runs cross-process barriers
+        # whenever process_count > 1, so a lead-only call would leave the
+        # lead blocked at a barrier the others never reach.  Orbax is
+        # multihost-aware — the replicated global arrays are written once
+        # (primary host), matching the reference's RANK==0 convention.
         save_checkpoint(path, state)
-        print_log(f"saved snapshot {path}")
+        if is_lead():
+            print_log(f"saved snapshot {path}")
 
     @staticmethod
     def _make_nested_eval(cfg, cfge, G, mesh):

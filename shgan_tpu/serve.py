@@ -113,12 +113,8 @@ class InpaintEngine:
         self.G, params = build_generator(model_cfg, pretrained, strict=strict,
                                          seed=seed)
         self.params = jax.device_put(params, replicated(self.mesh))
-        self._fwd = None  # compiled lazily on the first request's (H, W)
 
-    # -- compiled forward ---------------------------------------------------
-
-    def _compile(self, h, w):
-        G, noise_mode = self.G, self.noise_mode
+        G = self.G
 
         @jax.jit
         def fwd(params, real, mask, z, rng_data):
@@ -128,8 +124,12 @@ class InpaintEngine:
             return composite_forward(G, params, real, mask, z, rng,
                                      noise_mode=noise_mode)
 
+        # ONE jit for every (batch, H, W): jax.jit caches one executable
+        # per input shape, so engines serving mixed resolutions/buckets
+        # never re-pay the 15-25 min TPU compile for a shape seen before
         self._fwd = fwd
-        self._hw = (h, w)
+
+    # -- compiled forward ---------------------------------------------------
 
     def _z_for(self, global_indices):
         return z_for_positions(self.seed, self.G.z_dim, global_indices)
@@ -137,8 +137,6 @@ class InpaintEngine:
     def _run_padded(self, real, mask, z, batch_key):
         """Dispatch one full compiled batch; returns the device array
         (uint8 NCHW) WITHOUT syncing — callers strip padding after."""
-        if self._fwd is None or self._hw != real.shape[2:]:
-            self._compile(*real.shape[2:])
         real, mask, z = shard_batch((real, mask, z), self.mesh)
         return self._fwd(self.params, real, mask, z,
                          np.asarray(jax.random.key_data(batch_key)))

@@ -83,3 +83,37 @@ CFG = {
 
 rv = eval_stage()(CFG)
 print("MH_DRIVER_OK", pid, rv["eval_rv"], flush=True)
+
+if nproc > 1:
+    import numpy as np
+
+    # lossless allgather: float64 values beyond float32 precision and bools
+    # must survive the byte transport bit-exactly (ADVICE r2: FID feature
+    # banks are float64)
+    from shgan_tpu.parallel import allgather_rows
+    f64 = (np.arange(3, dtype=np.float64) + pid * 3) * (1 + 1e-12)
+    got = allgather_rows(f64)
+    exp = (np.arange(nproc * 3, dtype=np.float64)) * (1 + 1e-12)
+    assert got.dtype == np.float64 and np.array_equal(got, exp), (got, exp)
+    b = allgather_rows(np.asarray([pid % 2 == 0, True]))
+    assert b.dtype == np.bool_ and b.shape == (2 * nproc,), b
+    print("MH_ALLGATHER_OK", pid, flush=True)
+
+    # multi-host snapshot save: every process must enter the orbax save
+    # (lead-only gating deadlocks on orbax's cross-process barriers);
+    # then a restore round-trips the replicated state
+    from shgan_tpu.runtime.stages import train_stage
+    from shgan_tpu.parallel import create_mesh, replicated
+    from shgan_tpu.checkpoint.orbax_io import load_checkpoint
+    import jax.numpy as jnp
+
+    mesh = create_mesh()
+    state = {"params_g": {"w": jnp.arange(8.0) * 1.5}, "step": jnp.int32(3)}
+    state = jax.device_put(state, replicated(mesh))
+    train_stage.save_snapshot(state, out_dir, 1000)
+    host = jax.device_get(state)
+    got = load_checkpoint(os.path.join(out_dir, "weight",
+                                       "network-snapshot-000001"), host)
+    np.testing.assert_array_equal(np.asarray(got["params_g"]["w"]),
+                                  np.arange(8.0) * 1.5)
+    print("MH_SNAPSHOT_OK", pid, flush=True)

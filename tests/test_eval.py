@@ -211,9 +211,10 @@ def test_feature_metrics_registered_path(tmp_path, inception_params,
     fake = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
     real = rng.randint(0, 255, (8, 3, 32, 32)).astype(np.float32)
     ev.add_batch(fake=fake, real=real)
-    # fake (feat+probs computed up front so the later 'is' call memo-hits)
-    # and real — NOT 7 independent passes
-    assert runs == [True, True]
+    # one trunk pass each for fake and real — NOT 7 independent passes;
+    # neither runs the head inline ('is' upgrades fake's memo entry with
+    # the head-only matmul, real never touches the head)
+    assert runs == [False, False]
     ev.set_sample_n(8)
     rv = ev.compute()
     assert np.isfinite(rv["fid"]) and np.isfinite(rv["kid"])
@@ -222,6 +223,29 @@ def test_feature_metrics_registered_path(tmp_path, inception_params,
     path = ev.save(str(tmp_path))
     saved = json.load(open(path))
     assert set(saved) >= {"fid", "kid", "pr", "is"}
+
+
+@pytest.mark.slow  # pays the inception_params fixture build
+def test_detector_head_upgrade_matches_full_pass(inception_params):
+    """features() never runs the classifier head (ADVICE r2: a plain FID
+    run must not pay fc+softmax per batch); a later features_and_probs on
+    the same array upgrades the memo with the head alone, matching the
+    single-pass probs."""
+    from shgan_tpu.eval.detector import InceptionDetector
+
+    rng = np.random.RandomState(4)
+    x = rng.randint(0, 255, (4, 3, 32, 32)).astype(np.float32)
+
+    det = InceptionDetector(inception_params)
+    feat = det.features(x)
+    assert det._memo[-1][3] is None  # no probs computed for features()
+    feat2, probs = det.features_and_probs(x)
+    assert feat2 is feat  # memo hit, trunk not re-run
+
+    det_full = InceptionDetector(inception_params)
+    feat_full, probs_full = det_full.features_and_probs(x)
+    np.testing.assert_allclose(feat, feat_full, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(probs, probs_full, rtol=0, atol=1e-6)
 
 
 @pytest.mark.slow  # pays the 39 s inception_params fixture build

@@ -66,6 +66,10 @@ def test_two_process_eval_stage_matches_single(tmp_path):
         logs.append(o)
     assert all(p.returncode == 0 for p in procs), \
         "\n".join(log[-3000:] for log in logs)
+    # 2-process extras: lossless byte allgather + every-process orbax save
+    for log in logs:
+        assert "MH_ALLGATHER_OK" in log, log[-3000:]
+        assert "MH_SNAPSHOT_OK" in log, log[-3000:]
 
     with open(osp.join(out1, "result.json")) as f:
         single = json.load(f)

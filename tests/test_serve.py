@@ -166,6 +166,17 @@ def test_latency_buckets():
     np.testing.assert_array_equal(plain.inpaint(imgs, masks),
                                   bucketed.inpaint(imgs, masks))
 
+    # one jit serves every compiled shape: alternating between buckets
+    # must reuse cached executables, never recompile (ADVICE r2: the old
+    # per-shape closure discarded the previous compile on every switch)
+    imgs4, masks4 = _inputs(4, seed=10)
+    bucketed.inpaint(imgs4, masks4)
+    n_compiled = bucketed._fwd._cache_size()
+    assert n_compiled == 2  # bucket-1 and bucket-4 executables
+    bucketed.inpaint(imgs, masks)
+    bucketed.inpaint(imgs4, masks4)
+    assert bucketed._fwd._cache_size() == n_compiled
+
 
 def test_bucket_divisibility_checked():
     mesh8 = create_mesh()
