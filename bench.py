@@ -46,6 +46,20 @@ _PEAK_BF16 = [
 ]
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (verified working through the
+    remote TPU compile helper: 2nd-process compile of the same HLO is
+    ~20ms).  Every bench subprocess and the e2e eval share it, so repeat
+    runs skip the multi-minute 512² compiles."""
+    import jax
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_comp_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+
 def _peak_flops():
     import jax
     env = os.environ.get("BENCH_PEAK_TFLOPS")
@@ -119,7 +133,111 @@ def _sweep_in_subprocesses(batches):
     return best
 
 
+def _e2e_in_subprocess(batch):
+    """Run the e2e eval-stage bench in its own process (fresh backend,
+    clean HBM) and return its JSON dict, or None on failure."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_E2E_RUN="1", BENCH_BATCH=str(batch))
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          capture_output=True, text=True, env=env)
+    sys.stderr.write(proc.stderr)
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+        else ""
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        print(f"# e2e subprocess failed (rc={proc.returncode})",
+              file=sys.stderr)
+        return None
+
+
+def run_e2e(res, bs, bf16, n_batches=10):
+    """The production-path number: run the REAL ``eval_stage`` — host
+    pipeline (masks, batching), uint8 upload, generator forward, composite,
+    Inception feature extraction (random-init detector), FID accumulation —
+    and report steady-state img/s (batch 0 carries the compiles and is
+    dropped).  Matches the reference hot loop at
+    `/root/reference/lib/experiments/shgan_default.py:266-295`."""
+    import tempfile
+    import jax
+    from shgan_tpu.runtime.config import model_cfg_bank
+    from shgan_tpu.runtime.stages import eval_stage
+    from shgan_tpu.eval.inception import random_inception_params
+
+    suffix = "_small" if os.environ.get("BENCH_SMALL", "0") == "1" else ""
+    cfg_g = model_cfg_bank()(
+        os.environ.get("BENCH_MODEL", f"shgan_g{res}{suffix}"))
+    if bf16:
+        cfg_g["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
+        cfg_g["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
+    n_images = bs * n_batches
+    det_params = random_inception_params(jax.random.key(0))
+    with tempfile.TemporaryDirectory() as log_dir:
+        cfg = {
+            "env": {"rnd_seed": 0},
+            "model_g": cfg_g,
+            "eval": {
+                "dataset": {
+                    "type": "synthetic", "name": f"synthetic{res}",
+                    # pool: the synthetic image stands in for a PNG
+                    # decoder; the pipeline/mask/transfer cost is what's
+                    # being measured (1-core host), so synthesis is pooled
+                    "args": {"resolution": res, "length": n_images,
+                             "pool": 8, "as_u8": True},
+                    "formatter": {
+                        "type": "RandomMaskFormatter",
+                        "args": {"random_flip": False,
+                                 "mask_resolution": res,
+                                 "hole_range": [0, 1]}}},
+                "evaluator": [{"type": "fid",
+                               "args": dict(
+                                   detector_params=det_params,
+                                   # warm-cache protocol like the
+                                   # reference (eva_fid.py:177-187): real
+                                   # features cached after the first run
+                                   dsstat_cachefile_tag=(
+                                       f"bench_e2e_{res}_{bs}x{n_batches}"
+                                       if os.environ.get("BENCH_E2E_CACHE",
+                                                         "1") == "1"
+                                       else None))}],
+                "batch_size": bs,
+                "transport": "u8",
+                "log_dir": log_dir,
+                "log_display": 10**9,
+            },
+        }
+        if os.environ.get("BENCH_E2E_WORKERS") is not None:
+            cfg["eval"]["dataset_num_workers"] = int(
+                os.environ["BENCH_E2E_WORKERS"])
+        rv = eval_stage()(cfg)
+    bt = rv["timing"]["batch_s"]
+    steady = bt[1:] if len(bt) > 1 else bt
+    img_s = bs * len(steady) / sum(steady)
+    return {"e2e_img_s": round(img_s, 1),
+            "e2e_batch": bs,
+            "e2e_batches_timed": len(steady),
+            "e2e_compile_s": round(bt[0], 1),
+            "e2e_fid_finite": bool(np.isfinite(rv["eval_rv"]["fid"])),
+            "e2e_transport": "u8"}
+
+
 def main():
+    if os.environ.get("BENCH_E2E_RUN"):
+        # child mode: only the production-path e2e measurement, one JSON
+        if os.environ.get("BENCH_DEVICE") == "cpu":
+            os.environ["JAX_PLATFORM_NAME"] = "cpu"
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        _enable_compile_cache()
+        rec = run_e2e(int(os.environ.get("BENCH_RES", "512")),
+                      int(os.environ["BENCH_BATCH"]),
+                      bf16=os.environ.get("BENCH_BF16", "1") == "1",
+                      n_batches=int(os.environ.get("BENCH_E2E_BATCHES",
+                                                   "10")))
+        print(json.dumps(rec))
+        return
+
     if (os.environ.get("BENCH_DEVICE") != "cpu"
             and not os.environ.get("BENCH_BATCH")
             and os.environ.get("BENCH_SUBPROC", "1") == "1"):
@@ -128,6 +246,14 @@ def main():
         best = _sweep_in_subprocesses(
             _sweep_candidates(int(os.environ.get("BENCH_RES", "512"))))
         if best is not None:
+            if os.environ.get("BENCH_E2E", "1") == "1":
+                e2e = _e2e_in_subprocess(best["detail"]["batch"])
+                if e2e:
+                    best["detail"].update(e2e)
+                    fwd = best["value"]
+                    if fwd:
+                        best["detail"]["e2e_vs_forward"] = round(
+                            e2e["e2e_img_s"] / fwd, 3)
             print(json.dumps(best))
             return
         print("# all sweep subprocesses failed; falling back in-process",
@@ -139,6 +265,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
+    _enable_compile_cache()
 
     import jax.numpy as jnp
     from shgan_tpu.runtime.config import model_cfg_bank

@@ -537,16 +537,27 @@ class Places2LoadGen(LoadGenDataset):
 
 @register_dataset("synthetic")
 class SyntheticDataset(_Base):
-    """Deterministic procedural images for tests/benches (no data root)."""
+    """Deterministic procedural images for tests/benches (no data root).
 
-    def __init__(self, resolution=256, length=64, seed=0, try_sample=None):
+    ``pool=K`` generates only K distinct images (cached after first use)
+    and serves position ``i`` the image ``i % K`` — the image-synthesis
+    cost drops out of throughput benches while positions keep distinct
+    uids/masks/latents (the host cost being measured is the *pipeline*,
+    not this stand-in for a PNG decoder)."""
+
+    def __init__(self, resolution=256, length=64, seed=0, try_sample=None,
+                 pool=None, as_u8=False):
         self.resolution = resolution
         self.seed = seed
+        self.pool = pool
+        self.as_u8 = as_u8  # also carry an ``image_u8`` per element — the
+        # formatters' uint8 fast path then skips all host float math
+        self._pool_cache = {}
         if try_sample is not None:
             length = min(length, try_sample)
         self.load_info = [{"unique_id": f"syn{i:05d}"} for i in range(length)]
 
-    def __getitem__(self, i):
+    def _gen(self, i):
         rng = np.random.RandomState(self.seed * 100003 + i)
         res = self.resolution
         # smooth random gradients, cheap but non-trivial
@@ -554,5 +565,24 @@ class SyntheticDataset(_Base):
         base = rng.rand(3, 1, 1).astype(np.float32)
         img = (base + 0.5 * np.outer(y, y)[None]
                + 0.1 * rng.randn(3, res, res).astype(np.float32))
-        img = np.clip(img, 0, 1)
-        return {"image": img, "unique_id": self.load_info[i]["unique_id"]}
+        return np.clip(img, 0, 1)
+
+    def __getitem__(self, i):
+        if self.pool:
+            j = int(i) % self.pool
+            el = self._pool_cache.get(j)
+            if el is None:
+                # idempotent under concurrent prefetch threads (worst case
+                # two threads generate the same image once)
+                el = self._element(j)
+                self._pool_cache[j] = el
+        else:
+            el = self._element(i)
+        return dict(el, unique_id=self.load_info[i]["unique_id"])
+
+    def _element(self, i):
+        img = self._gen(i)
+        el = {"image": img}
+        if self.as_u8:
+            el["image_u8"] = np.rint(img * 255).clip(0, 255).astype(np.uint8)
+        return el

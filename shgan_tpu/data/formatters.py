@@ -48,9 +48,20 @@ class RandomMaskFormatter:
             self._native = native_available() or None
 
     def __call__(self, element):
-        x = element["image"] * 2 - 1
-        if self.random_flip and _R.rand() < 0.5:
-            x = x[:, :, ::-1].copy()
+        u8 = element.get("image_u8") if isinstance(element, dict) else None
+        if u8 is not None:
+            # uint8 fast path: the image crosses the host untouched (flip
+            # is a view); normalization to [-1,1] happens on device
+            # (models/infer.py) with bit-identical values — the host's
+            # float passes were the eval pipeline's largest cost on
+            # few-core hosts
+            x = u8
+            if self.random_flip and _R.rand() < 0.5:
+                x = x[:, :, ::-1]
+        else:
+            x = element["image"] * 2 - 1
+            if self.random_flip and _R.rand() < 0.5:
+                x = x[:, :, ::-1].copy()
         if self._native:
             # C++ batch generator (shgan_tpu/native/src/maskgen.cpp), seeded
             # from the formatter RNG stream to stay reproducible.

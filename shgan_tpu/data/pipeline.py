@@ -94,7 +94,8 @@ class EvalPipeline:
     the device outputs."""
 
     def __init__(self, dataset, formatter, batch_size, mesh=None, depth=4,
-                 seed=0, num_threads=None):
+                 seed=0, num_threads=None, transport="f32"):
+        import jax
         shard_id, num_shards = _process_shard()
         self.dataset = dataset
         self.batch_size = batch_size
@@ -102,9 +103,25 @@ class EvalPipeline:
         self.shard = DataShard(dataset, formatter,
                                _local_batch(batch_size, num_shards),
                                shard_id=shard_id, num_shards=num_shards,
-                               shuffle=False, extend=True, seed=seed)
-        self.prefetch = _Prefetcher(self.shard.get_batch, len(self.shard),
+                               shuffle=False, extend=True, seed=seed,
+                               transport=transport)
+        # single-process: device_put INSIDE the prefetch worker, so the
+        # host→device upload of batch i+1 overlaps device compute of
+        # batch i (multi-host keeps the global-array assembly on the
+        # consuming thread — its construction order must match across
+        # processes)
+        self._put_in_worker = (mesh is not None
+                               and jax.process_count() == 1)
+        make = (self._worker_batch if self._put_in_worker
+                else self.shard.get_batch)
+        self.prefetch = _Prefetcher(make, len(self.shard),
                                     depth=depth, num_threads=num_threads)
+
+    def _worker_batch(self, b):
+        from ..parallel import shard_batch
+        real, mask, valid, uids = self.shard.get_batch(b)
+        real, mask = shard_batch((real, mask), self.mesh)
+        return real, mask, valid, uids
 
     def __len__(self):
         return len(self.shard)
@@ -112,7 +129,7 @@ class EvalPipeline:
     def __iter__(self):
         from ..parallel import local_batch_to_global
         for real, mask, valid, uids in self.prefetch:
-            if self.mesh is not None:
+            if self.mesh is not None and not self._put_in_worker:
                 real, mask = local_batch_to_global((real, mask), self.mesh)
             yield real, mask, valid, uids
 

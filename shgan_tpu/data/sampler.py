@@ -54,12 +54,17 @@ class DataShard:
 
     def __init__(self, dataset, formatter, batch_size, shard_id=0,
                  num_shards=1, shuffle=False, seed=0, extend=True,
-                 drop_last=False, epoch=0):
+                 drop_last=False, epoch=0, transport="f32"):
         self.dataset = dataset
         self.formatter = formatter
         self.batch_size = batch_size
         self.seed = seed
         self.epoch = epoch
+        # 'u8': batches leave the host as uint8 (real 0..255, mask {0,1});
+        # normalization happens on device (models/infer.py) — 4× fewer
+        # host→device bytes, bit-identical for uint8-sourced images
+        assert transport in ("f32", "u8"), transport
+        self.transport = transport
         self.indices, self.valid = shard_indices(
             len(dataset), shard_id, num_shards, shuffle, seed, extend)
         # contiguous global offset of this shard (shards are equal-length
@@ -81,15 +86,32 @@ class DataShard:
             pad = bs - len(idx)
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
             val = np.concatenate([val, np.zeros(pad, dtype=bool)])
+        u8 = self.transport == "u8"
         reals, masks, uids = [], [], []
         for j, i in enumerate(idx):
             pos = self.global_offset + b * bs + j
             with batch_rng(derive_seed(self.seed, pos, self.epoch)):
                 r, m, u = self.formatter(self.dataset[int(i)])
-            reals.append(np.asarray(r, np.float32))
-            masks.append(np.asarray(m, np.float32))
+            r = np.asarray(r)
+            if u8:
+                if r.dtype != np.uint8:
+                    # exact inverse of the device-side u/127.5-1 for
+                    # images that were uint8 to begin with
+                    r = np.clip(np.rint((r.astype(np.float32) + 1.0)
+                                        * 127.5), 0, 255).astype(np.uint8)
+                reals.append(r)
+                masks.append(np.asarray(m) > 0.5)
+            else:
+                if r.dtype == np.uint8:  # u8 fast-path formatter output
+                    r = r.astype(np.float32) / 127.5 - 1.0
+                reals.append(r.astype(np.float32, copy=False))
+                masks.append(np.asarray(m, np.float32))
             uids.append(u)
-        return (np.stack(reals), np.stack(masks)[:, None], val, uids)
+        real = np.stack(reals)
+        mask = np.stack(masks)[:, None]
+        if u8:
+            mask = mask.astype(np.uint8)
+        return (real, mask, val, uids)
 
     def __iter__(self):
         for b in range(len(self)):

@@ -47,6 +47,10 @@ class BaseEvaluator:
     # stage then calls run_generator_metrics(G, params, seed) after the
     # batch stream
     needs_generator = False
+    # False on metrics that read ONLY the on-device views (fake_dev/
+    # real_dev/pred_dev/gt_dev) — when every composed metric is device-fed,
+    # the eval stage skips the full-image device→host readback
+    consumes_host_pixels = True
 
     def __init__(self):
         self.final = {}
@@ -105,6 +109,8 @@ class NullEvaluator(BaseEvaluator):
     """No-op metric (reference ``null_evaluator``, eva_null.py:10) — used
     when only the generated-image dump or demo grid is wanted."""
 
+    consumes_host_pixels = False
+
     def add_batch(self, **kwargs):
         pass
 
@@ -133,6 +139,11 @@ class ComposeEvaluator:
     @property
     def needs_generator(self):
         return any(getattr(e, "needs_generator", False)
+                   for e in self.evaluators)
+
+    @property
+    def consumes_host_pixels(self):
+        return any(getattr(e, "consumes_host_pixels", True)
                    for e in self.evaluators)
 
     def run_generator_metrics(self, G, params, seed=0):

@@ -29,6 +29,9 @@ class FeatureBankEvaluator(BaseEvaluator):
 
     needs_real = True
     needs_probs = False
+    # reads fake_dev/real_dev when present — no host pixels needed
+    # (the eval stage then skips the per-batch image readback)
+    consumes_host_pixels = False
 
     def __init__(self, device=None, sample_real_n=None, sample_fake_n=None,
                  dsstat_cachefile_tag=None, detector_weights=None,

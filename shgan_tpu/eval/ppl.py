@@ -14,11 +14,19 @@ Adaptations for the inpainting generator + TPU:
     batch so t0/t1 share noise; here both synthesis calls reuse the SAME
     rng with ``noise_mode='random'``, which equally makes noise common to
     the pair (and additionally decorrelates it across batch lanes).
-  * The LPIPS embedding is our AlexNet-backbone LPIPS (`eva_lpips.py`
-    weights) rather than NVIDIA's vgg16 ``return_lpips`` variant — same
-    construction (unit-normalized, lin-weighted feature stack), different
-    backbone, so absolute PPL values are comparable only within this
-    framework.  Both perturbations run in one jitted function.
+  * The LPIPS embedding defaults to ``net='vgg16'`` — the reference's
+    backbone choice (vgg16 ``return_lpips``, perceptual_path_length.py:
+    41-48) — loaded torch-free from SHGAN_TPU_VGG16 + the lpips vgg lin
+    weights; matching NVIDIA's absolute values additionally requires the
+    caffe-VGG weights converted from the metric ``vgg16.pt``
+    (tools/convert_vgg16.py).  ``net='alex'`` remains available (same
+    construction, different backbone).  Both perturbations run in one
+    jitted function.
+  * ``max_contexts`` bounds the pool of conditioning contexts held in
+    host memory; a run with ``num_samples > max_contexts`` RECYCLES
+    contexts (``idx % len(ctx)``), whereas the reference draws a fresh
+    batch per sample (perceptual_path_length.py:107-125) — raise
+    ``max_contexts`` to ≥ num_samples for protocol-exact runs.
 """
 
 from __future__ import annotations
@@ -31,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import BaseEvaluator, register_evaluator
-from .lpips import load_lpips_params, lpips_distance
+from .lpips import lpips_distance
 from .stylegan_metrics import ppl_from_distances
 
 
@@ -48,7 +56,7 @@ def slerp_jnp(a, b, t):
 
 
 def make_ppl_sampler(G, lpips_params, epsilon=1e-4, space="w",
-                     sampling="end", crop=False):
+                     sampling="end", crop=False, net="alex"):
     """→ jitted (params, x, z0, z1, t, rng) → [N] PPL distances
     (the PPLSampler.forward equivalent, perceptual_path_length.py:36-95)."""
     assert space in ("z", "w") and sampling in ("full", "end")
@@ -80,7 +88,8 @@ def make_ppl_sampler(G, lpips_params, epsilon=1e-4, space="w",
             img = img.reshape(n, ch, h // factor, factor, w // factor,
                               factor).mean(axis=(3, 5))
         d0, d1 = jnp.split(img, 2, axis=0)
-        return lpips_distance(lpips_params, d0, d1) / (epsilon ** 2)
+        return lpips_distance(lpips_params, d0, d1, net=net) \
+            / (epsilon ** 2)
 
     return jax.jit(sample)
 
@@ -94,9 +103,9 @@ class PPLEvaluator(BaseEvaluator):
     needs_generator = True
 
     def __init__(self, num_samples=2000, epsilon=1e-4, space="w",
-                 sampling="end", crop=False, batch_size=8,
-                 alexnet_weights=None, lin_weights=None, lpips_params=None,
-                 max_contexts=256, **_):
+                 sampling="end", crop=False, batch_size=8, net="vgg16",
+                 alexnet_weights=None, vgg16_weights=None, lin_weights=None,
+                 lpips_params=None, max_contexts=256, **_):
         super().__init__()
         self.num_samples = num_samples
         self.epsilon = epsilon
@@ -104,18 +113,18 @@ class PPLEvaluator(BaseEvaluator):
         self.sampling = sampling
         self.crop = crop
         self.batch_size = batch_size
+        self.net = net
         self.max_contexts = max_contexts
         if lpips_params is not None:
             self.lpips_params = lpips_params
         else:
-            aw = alexnet_weights or os.environ.get("SHGAN_TPU_ALEXNET")
-            lw = lin_weights or os.environ.get("SHGAN_TPU_LPIPS_LIN")
-            if not (aw and lw and osp.isfile(aw) and osp.isfile(lw)):
-                raise FileNotFoundError(
-                    "PPL needs LPIPS weights: pass alexnet_weights=/"
-                    "lin_weights=, lpips_params=, or set SHGAN_TPU_ALEXNET "
-                    "/ SHGAN_TPU_LPIPS_LIN")
-            self.lpips_params = load_lpips_params(aw, lw)
+            # default net='vgg16' — the reference PPL's embedding
+            # (perceptual_path_length.py:41-48); net='alex' reuses the
+            # LPIPS-metric assets instead
+            from .lpips import resolve_lpips_params
+            self.lpips_params = resolve_lpips_params(
+                net, alexnet_weights=alexnet_weights,
+                vgg16_weights=vgg16_weights, lin_weights=lin_weights)
         self._contexts = []  # [C,H,W] float32 generator inputs (mask‖masked)
         self.data_dist = []
 
@@ -138,7 +147,8 @@ class PPLEvaluator(BaseEvaluator):
                 "PPL has no conditional contexts: add_batch with mask= must "
                 "run before run_generator_metrics")
         sampler = make_ppl_sampler(G, self.lpips_params, self.epsilon,
-                                   self.space, self.sampling, self.crop)
+                                   self.space, self.sampling, self.crop,
+                                   net=self.net)
         ctx = np.stack(self._contexts)
         key = jax.random.key(seed)
         bs = self.batch_size

@@ -196,8 +196,14 @@ class eval_stage:
         formatter = wrap_formatter(
             get_formatter(cfgv["dataset"]["formatter"]),
             cfgv["dataset"].get("transforms"))
+        # 'u8' transport ships batches to the device as uint8 (4× fewer
+        # bytes over PCIe/tunnel; bit-identical for uint8-sourced images,
+        # see models/infer.py) — the throughput default for device-fed
+        # metric stacks; 'f32' remains the parity default
+        transport = cfgv.get("transport", "f32")
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh,
-                            seed=seed, num_threads=_num_workers(cfgv, n_dev))
+                            seed=seed, num_threads=_num_workers(cfgv, n_dev),
+                            transport=transport)
 
         pretrained = cfgv.get("pretrained_pth")
         if (pretrained and not osp.isfile(pretrained)
@@ -241,15 +247,26 @@ class eval_stage:
                                      noise_mode=noise_mode)
 
         @jax.jit
-        def dev_views(fake_u8, real):
+        def dev_views_f32(fake_u8, real):
             """On-device evaluator inputs (same formulas as the numpy
             hand-off below, same f32 dtype — bitwise-identical values):
             detector 0-255 floats and LPIPS [0,1] pairs.  Feature/LPIPS
             metrics then read device-to-device; only 2048-d features and
             per-image distances cross to the host."""
             f32 = fake_u8.astype(jnp.float32)
-            return {"fake_dev": f32, "real_dev": real * 127.5 + 127.5,
+            r255 = real * 127.5 + 127.5
+            return {"fake_dev": f32, "real_dev": r255,
                     "pred_dev": f32 / 255.0, "gt_dev": (real + 1) / 2}
+
+        def dev_views(fake_u8, real):
+            if real.dtype == jnp.uint8:
+                # u8 transport: the generator's uint8 output and the
+                # uploaded uint8 real ARE the device views — zero extra
+                # HBM (detector/LPIPS jits cast uint8 internally; at
+                # bs=120/512² the four f32 copies were 1.5 GB per batch)
+                return {"fake_dev": fake_u8, "real_dev": real,
+                        "pred_dev": fake_u8, "gt_dev": real}
+            return dev_views_f32(fake_u8, real)
 
         def local_z(idx):
             """Per-sample z keyed by global dataset position, so the
@@ -262,41 +279,82 @@ class eval_stage:
 
         # every process derives the identical key stream from the shared
         # seed; keys cross into jit as host numpy (implicitly replicated
-        # on a multi-host mesh — nothing to broadcast)
+        # on a multi-host mesh — nothing to broadcast).  The stream lives
+        # on the host CPU backend: key split + key_data readback would
+        # otherwise cost two accelerator round-trips per batch (the
+        # tunnel RTT is material on remoted TPUs).
         from ..parallel import local_batch_to_global
-        key = jax.random.key(seed)
+        _cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(_cpu):
+            key = jax.random.key(seed)
         log_display = cfgv.get("log_display", 10)
+        single_proc = jax.process_count() == 1
+        # when every configured metric reads its device view (FID/KID/PR/
+        # IS/LPIPS), skip the full-image device→host readback entirely —
+        # only 2048-d features / per-image distances ever cross the link
+        # (multi-host always reads back: the per-process feature banks
+        # gather on the host later)
+        needs_np = (not single_proc
+                    or getattr(evaluator, "consumes_host_pixels", True))
+        batch_s = []
+        phase_log = os.environ.get("SHGAN_EVAL_TIMING") == "1"
         t0 = timeit.default_timer()
-        for idx, (real, mask, valid, uids) in enumerate(pipe):
-            key, kn = jax.random.split(key)
+        t_prev = t0
+        it = iter(pipe)
+        for idx in range(len(pipe)):
+            t_a = timeit.default_timer()
+            try:
+                real, mask, valid, uids = next(it)
+            except StopIteration:
+                break
+            t_b = timeit.default_timer()
+            with jax.default_device(_cpu):
+                key, kn = jax.random.split(key)
             (z,) = local_batch_to_global((local_z(idx),), mesh)
             fake = run_generator(params, real, mask, z,
                                  np.asarray(jax.random.key_data(kn)))
-            # local_rows: this process's block of the global batch — the
-            # same rows its DataShard formatted (valid/uids are local too)
-            fake_np = local_rows(fake).astype(np.float32)
-            real_np = local_rows(real)
+            if phase_log:
+                jax.block_until_ready(fake)
+            t_c = timeit.default_timer()
             # single-process: also hand the evaluators device views so
             # the Inception/LPIPS forwards skip the host round trip
             # (multi-host keeps the numpy path — per-process feature
             # banks gather later via sync_across_processes)
-            dev = dev_views(fake, real) if jax.process_count() == 1 else {}
+            dev = dev_views(fake, real) if single_proc else {}
+            if needs_np:
+                # local_rows: this process's block of the global batch —
+                # the same rows its DataShard formatted (valid/uids too)
+                fake_np = local_rows(fake).astype(np.float32)
+                real_np = local_rows(real)
+                if real_np.dtype == np.uint8:  # u8 transport
+                    real255 = real_np.astype(np.float32)
+                else:
+                    real255 = real_np * 127.5 + 127.5
+                host = dict(pred=fake_np / 255.0, gt=real255 / 255.0
+                            if real_np.dtype == np.uint8
+                            else (real_np + 1) / 2,
+                            fake=fake_np, real=real255)
+            else:
+                host = dict(pred=None, gt=None, fake=None, real=None)
             evaluator.add_batch(
-                pred=fake_np / 255.0,
-                gt=(real_np + 1) / 2,
-                fake=fake_np,
-                real=real_np * 127.5 + 127.5,
                 # masks are consumed only by the generator-in-the-loop
                 # metrics (PPL contexts) — skip the per-batch device→host
                 # mask readback for everything else
                 mask=(local_rows(mask)
                       if getattr(evaluator, "needs_generator", False)
                       else None),
-                fn=uids, valid=valid, **dev)
+                fn=uids, valid=valid, **host, **dev)
+            now = timeit.default_timer()
+            if phase_log:
+                print_log(f"batch {idx}: pipe_wait {t_b - t_a:.3f}s "
+                          f"gen {t_c - t_b:.3f}s "
+                          f"metrics {now - t_c:.3f}s")
+            batch_s.append(now - t_prev)
+            t_prev = now
             if idx % log_display == log_display - 1:
                 print_log("processed.. {}, Time:{:.2f}s".format(
-                    idx + 1, timeit.default_timer() - t0))
-                t0 = timeit.default_timer()
+                    idx + 1, now - t0))
+                t0 = now
 
         if jax.process_count() > 1:
             # restore global dataset order across hosts before computing
@@ -310,7 +368,11 @@ class eval_stage:
         if is_lead():
             evaluator.save(log_dir)
         evaluator.clear_data()
-        return {"eval_rv": rv}
+        # per-batch wall times (batch 0 carries the jit compiles) — the
+        # e2e throughput bench reads these (bench.py BENCH_E2E)
+        timing = {"batch_s": batch_s, "global_batch": batch_size,
+                  "images": len(dataset)}
+        return {"eval_rv": rv, "timing": timing}
 
     @staticmethod
     def _build_evaluator(cfgv, cfge):

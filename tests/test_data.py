@@ -217,3 +217,78 @@ def test_dataset_pick_estimators():
     ds = get_dataset({**base, "pick_index": [4, 0, 4]})
     assert [i["unique_id"] for i in ds.load_info] == \
         ["syn00004", "syn00000", "syn00004"]
+
+
+# ---------------------------------------------------------------------------
+# uint8 transport + synthetic pool
+# ---------------------------------------------------------------------------
+
+def test_u8_transport_roundtrips_uint8_sourced_images():
+    """For images that were uint8 to begin with, u8 transport + the
+    device-side u/127.5-1 normalization reproduces the f32 path
+    bit-exactly (models/infer.py contract)."""
+
+    class U8DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            u = rng.randint(0, 256, (3, 16, 16), dtype=np.uint8)
+            return {"image": u.astype(np.float32) / 255.0,
+                    "unique_id": f"u{i}"}
+
+    fmt = CenterMaskFormatter()
+    f32 = DataShard(U8DS(), fmt, batch_size=4, transport="f32")
+    u8 = DataShard(U8DS(), fmt, batch_size=4, transport="u8")
+    r32, m32, _, _ = f32.get_batch(0)
+    r8, m8, _, _ = u8.get_batch(0)
+    assert r8.dtype == np.uint8 and m8.dtype == np.uint8
+    # device-side normalization (f32 arithmetic) reproduces r32 exactly
+    back = r8.astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_array_equal(back, r32)
+    np.testing.assert_array_equal(m8.astype(np.float32), m32)
+
+
+def test_u8_transport_same_masks_as_f32():
+    """Transport must not consume extra RNG draws: per-position masks are
+    identical across transports."""
+    ds = SyntheticDataset(resolution=32, length=6)
+    fmt = RandomMaskFormatter(mask_resolution=32)
+    a = DataShard(ds, fmt, batch_size=3, seed=9, transport="f32")
+    b = DataShard(ds, fmt, batch_size=3, seed=9, transport="u8")
+    for k in range(2):
+        _, ma, _, _ = a.get_batch(k)
+        _, mb, _, _ = b.get_batch(k)
+        np.testing.assert_array_equal(ma, mb.astype(np.float32))
+
+
+def test_synthetic_pool_serves_distinct_positions():
+    ds_pool = SyntheticDataset(resolution=16, length=10, pool=3)
+    ds_full = SyntheticDataset(resolution=16, length=10)
+    # position i gets image i % pool, with the position's own uid
+    np.testing.assert_array_equal(ds_pool[5]["image"], ds_pool[2]["image"])
+    np.testing.assert_array_equal(ds_pool[2]["image"], ds_full[2]["image"])
+    assert ds_pool[5]["unique_id"] == "syn00005"
+    assert len(ds_pool) == 10
+
+
+def test_eval_pipeline_worker_device_put():
+    """Single-process EvalPipeline with a mesh uploads inside the prefetch
+    worker; yielded arrays are already device-resident and sharded."""
+    import jax
+    from shgan_tpu.parallel import create_mesh
+
+    ds = SyntheticDataset(resolution=16, length=8)
+    mesh = create_mesh(2)
+    pipe = EvalPipeline(ds, CenterMaskFormatter(), batch_size=4, mesh=mesh,
+                        transport="u8")
+    assert pipe._put_in_worker
+    for real, mask, valid, uids in pipe:
+        assert isinstance(real, jax.Array) and real.dtype == jnp_uint8()
+        assert real.sharding.spec[0] == "data"
+
+
+def jnp_uint8():
+    import jax.numpy as jnp
+    return jnp.uint8

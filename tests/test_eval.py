@@ -294,7 +294,7 @@ def test_ppl_evaluator_generator_loop():
     params = G.init(jax.random.key(0))
     lp = random_lpips_params(jax.random.key(1))
     ev = PPLEvaluator(num_samples=8, batch_size=4, space="w",
-                      sampling="end", lpips_params=lp)
+                      sampling="end", lpips_params=lp, net="alex")
     assert ev.needs_generator
     rng = np.random.RandomState(5)
     real = rng.randint(0, 255, (4, 3, 64, 64)).astype(np.float32)
@@ -307,7 +307,7 @@ def test_ppl_evaluator_generator_loop():
 
     # z-space + full sampling path also runs
     ev2 = PPLEvaluator(num_samples=4, batch_size=4, space="z",
-                       sampling="full", lpips_params=lp)
+                       sampling="full", lpips_params=lp, net="alex")
     ev2.add_batch(real=real, mask=mask)
     ev2.run_generator_metrics(G, params, seed=1)
     assert np.isfinite(ev2.compute())
@@ -323,7 +323,7 @@ def test_compose_generator_metric_dispatch():
     lp = random_lpips_params(jax.random.key(1))
     ev = ComposeEvaluator([PSNREvaluator(),
                            PPLEvaluator(num_samples=4, batch_size=4,
-                                        lpips_params=lp)])
+                                        lpips_params=lp, net="alex")])
     assert ev.needs_generator
     rng = np.random.RandomState(6)
     real = rng.randint(0, 255, (4, 3, 64, 64)).astype(np.float32)

@@ -1,0 +1,117 @@
+"""eval_stage uint8 transport + device-fed readback skip + timing.
+
+The production e2e bench (bench.py BENCH_E2E) relies on all three:
+batches ship as uint8 (4× fewer host→device bytes), device-fed metric
+stacks skip the full-image device→host readback, and the stage returns
+per-batch wall times."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+ACT = "lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)"
+RES = 64
+
+
+def _model_cfg():
+    enc = dict(resolution=RES, ic_n=4, oc_n=32, ch_base=256, ch_max=8,
+               use_fp16_before_res=None, activation=ACT, mbstd_group_size=0,
+               mbstd_c_n=0, c_dim=None, cmap_dim=None, use_dropout=True,
+               has_extra_final_layer=False, shu_input_res=16,
+               shu_lowest_res=4, shu_channels=4, shu_df_freedom=[2, 3],
+               shu_df_type="piecewise_linear", shu_tail_sigma_mult=3,
+               shu_gaussian_at_input_res=False)
+    return {"type": "comodgan_generator", "args": {
+        "mapping": {"type": "comodgan_mapping",
+                    "args": dict(z_dim=32, c_dim=0, w_dim=32, num_ws=10,
+                                 num_layers=2, activation=ACT,
+                                 lr_multiplier=0.01)},
+        "encoder": {"type": "shgan_encoder", "args": enc},
+        "synthesis": {"type": "comodgan_synthesis",
+                      "args": dict(w_dim=32, w0_dim=32, resolution=RES,
+                                   rgb_n=3, ch_base=256, ch_max=8,
+                                   use_fp16_after_res=None,
+                                   activation=ACT)}}}
+
+
+def _cfg(tmp_path, transport, evaluator):
+    return {
+        "env": {"rnd_seed": 7, "mesh_devices": 2},
+        "model_g": _model_cfg(),
+        "eval": {
+            "dataset": {
+                "type": "synthetic", "name": "syn64",
+                "args": {"resolution": RES, "length": 8, "seed": 3},
+                "formatter": {"type": "RandomMaskFormatter",
+                              "args": {"random_flip": False,
+                                       "mask_resolution": RES,
+                                       "hole_range": [0, 1],
+                                       "impl": "numpy"}}},
+            "evaluator": evaluator,
+            "batch_size": 4,
+            "transport": transport,
+            "log_dir": str(tmp_path / transport),
+            "log_display": 100,
+            "pallas_noise": False,
+            "noise_mode": "const",
+        },
+    }
+
+
+def test_u8_transport_matches_f32_pixel_metrics(tmp_path):
+    """PSNR/SSIM under u8 transport stay close to f32.  The synthetic
+    FLOAT images quantize once on the way in, so the (random-init)
+    generator sees slightly different inputs and the outputs drift —
+    loose bounds here; uint8-SOURCED data is bit-exact across transports
+    (test_data.py::test_u8_transport_roundtrips_uint8_sourced_images)."""
+    from shgan_tpu.runtime.stages import eval_stage
+
+    ev = [{"type": "psnr", "args": {"for_dataset": None, "rgb_range": 1}},
+          {"type": "ssim", "args": {"window_size": 11}}]
+    rv32 = eval_stage()(_cfg(tmp_path, "f32", ev))
+    rv8 = eval_stage()(_cfg(tmp_path, "u8", ev))
+    p32 = rv32["eval_rv"]["psnr"]
+    p8 = rv8["eval_rv"]["psnr"]
+    assert abs(p32 - p8) < 0.5, (p32, p8)
+    s32 = rv32["eval_rv"]["ssim"]
+    s8 = rv8["eval_rv"]["ssim"]
+    assert abs(s32 - s8) < 0.1, (s32, s8)
+    # per-batch timing present on both
+    assert len(rv32["timing"]["batch_s"]) == 2
+    assert rv32["timing"]["global_batch"] == 4
+
+
+def test_device_fed_compose_skips_host_readback(tmp_path, monkeypatch):
+    """With only device-fed metrics (FID) in the compose, the stage never
+    reads full images back to the host — local_rows runs zero times in
+    the batch loop."""
+    import jax
+    import shgan_tpu.runtime.stages as stages
+    from shgan_tpu.eval.inception import random_inception_params
+
+    det = random_inception_params(jax.random.key(0))
+    calls = []
+    real_local_rows = stages.local_rows
+
+    def counting_local_rows(arr):
+        calls.append(np.asarray(arr).shape)
+        return real_local_rows(arr)
+
+    monkeypatch.setattr(stages, "local_rows", counting_local_rows)
+    ev = [{"type": "fid", "args": {"detector_params": det}}]
+    rv = stages.eval_stage()(_cfg(tmp_path, "u8", ev))
+    assert calls == [], calls
+    assert np.isfinite(rv["eval_rv"]["fid"])
+
+    # same compose + a host-pixel metric → readback happens again
+    calls.clear()
+    ev2 = ev + [{"type": "psnr", "args": {"for_dataset": None,
+                                          "rgb_range": 1}}]
+    rv2 = stages.eval_stage()(_cfg(tmp_path, "u8", ev2))
+    assert calls, "host-pixel metric must trigger readback"
+    assert np.isfinite(rv2["eval_rv"]["psnr"])
+    # FID identical whether or not the host path also ran (device views
+    # are the same arrays)
+    assert rv["eval_rv"]["fid"] == pytest.approx(rv2["eval_rv"]["fid"],
+                                                 rel=1e-6)

@@ -1,0 +1,107 @@
+"""Golden detector fixture: once a connected machine runs
+``tools/validate_fid.py --emit-fixture`` with the real pt_inception
+weights, the committed fixture pins detector parity as a permanent
+repo-local regression (the reference feature contract,
+`/root/reference/lib/evaluator/eva_fid.py:145-223`).
+
+Skips only when the fixture (or the weights it was emitted from) is
+absent — docs/ASSETS.md documents how to produce both."""
+
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+HERE = osp.dirname(osp.abspath(__file__))
+FIXTURE = osp.join(HERE, "fixtures", "inception_golden.npz")
+
+sys.path.insert(0, osp.join(osp.dirname(HERE), "tools"))
+
+
+def _fixture():
+    if not osp.isfile(FIXTURE):
+        pytest.skip("no committed detector fixture — emit with "
+                    "tools/validate_fid.py --emit-fixture (docs/ASSETS.md)")
+    return np.load(FIXTURE)
+
+
+def test_fixture_pins_jax_port():
+    """The current JAX port reproduces the fixture's recorded features —
+    catches any numerical drift of the port without needing torch or the
+    weights' origin machine."""
+    fx = _fixture()
+    wpath = os.environ.get("SHGAN_TPU_INCEPTION", "")
+    if not osp.isfile(wpath):
+        pytest.skip("fixture present but SHGAN_TPU_INCEPTION weights "
+                    "absent on this machine")
+    from validate_fid import _weights_sha, fixed_batch
+
+    if str(fx["weights_sha"]) != _weights_sha(wpath):
+        pytest.skip("weights file differs from the one the fixture was "
+                    "emitted from")
+
+    import jax.numpy as jnp
+    from shgan_tpu.eval.inception import (inception_features_and_probs,
+                                          load_inception_params)
+    params = load_inception_params(wpath)
+    for r in [int(v) for v in np.atleast_1d(fx["res"])]:
+        x = fixed_batch(int(fx["n"]), r)
+        feat, probs = inception_features_and_probs(
+            params, jnp.asarray(x.astype(np.float32)))
+        np.testing.assert_allclose(np.asarray(feat, np.float32),
+                                   fx[f"feat_jax_{r}"], rtol=0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(probs, np.float32),
+                                   fx[f"probs_jax_{r}"], rtol=0, atol=1e-4)
+        # port parity vs the torch oracle recorded at emit time
+        d = np.abs(np.asarray(feat, np.float64)
+                   - fx[f"feat_pth_{r}"].astype(np.float64))
+        assert d.max() <= 2e-3, (r, d.max())
+
+
+def test_fixture_records_reference_detector_when_emitted_with_ts():
+    """If the fixture was emitted with the NVIDIA TorchScript detector
+    available, the JAX features must match IT at 299² (no resize in either
+    graph) — the strongest parity statement the repo can pin."""
+    fx = _fixture()
+    if "feat_ts_299" not in fx:
+        pytest.skip("fixture emitted without the TorchScript detector")
+    d = np.abs(fx["feat_jax_299"].astype(np.float64)
+               - fx["feat_ts_299"].astype(np.float64))
+    assert d.max() <= 1e-2, d.max()
+
+
+@pytest.mark.slow
+def test_emit_fixture_mechanism_roundtrip(tmp_path, monkeypatch):
+    """The emit→verify machinery works end-to-end (random weights saved as
+    a real .pth): emitted fixture matches a fresh recompute, and the
+    port-parity bound vs the torch oracle holds."""
+    import torch
+    from shgan_tpu.eval.inception import random_inception_state_dict
+    import validate_fid as vf
+
+    wpath = str(tmp_path / "rand_inception.pth")
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in random_inception_state_dict(seed=5).items()}
+    torch.save(sd, wpath)
+    monkeypatch.setenv("SHGAN_TPU_INCEPTION", wpath)
+    monkeypatch.delenv("SHGAN_TPU_INCEPTION_TS", raising=False)
+
+    fxp = str(tmp_path / "golden.npz")
+    assert vf.emit_fixture(fxp, n=2, res=(64,)) == 0
+    fx = np.load(fxp)
+    assert str(fx["weights_sha"]) == vf._weights_sha(wpath)
+
+    import jax.numpy as jnp
+    from shgan_tpu.eval.inception import (inception_features_and_probs,
+                                          load_inception_params)
+    params = load_inception_params(wpath)
+    x = vf.fixed_batch(2, 64)
+    feat, probs = inception_features_and_probs(
+        params, jnp.asarray(x.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(feat, np.float32),
+                               fx["feat_jax_64"], rtol=0, atol=1e-3)
+    d = np.abs(np.asarray(feat, np.float64)
+               - fx["feat_pth_64"].astype(np.float64))
+    assert d.max() <= 2e-3, d.max()

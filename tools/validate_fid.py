@@ -165,11 +165,68 @@ def torchscript_features(x_uint8):
     return feat.numpy().astype(np.float64)
 
 
+FIXTURE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "fixtures", "inception_golden.npz")
+
+
+def _weights_sha(path, nbytes=1 << 20):
+    """sha256 of the first MiB — enough to identify the weights file."""
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        h.update(f.read(nbytes))
+    return h.hexdigest()
+
+
+def emit_fixture(path=None, n=4, res=(299, 256)):
+    """Write the golden detector fixture: fixed inputs (regenerable via
+    :func:`fixed_batch`) → reference-oracle features (+probs), pinned to
+    the weights file hash.  Run ONCE on a machine that has the weights
+    (docs/ASSETS.md); the committed file turns detector parity into a
+    permanent repo-local regression test (tests/test_fid_fixture.py) —
+    the contract being pinned is `/root/reference/lib/evaluator/
+    eva_fid.py:145-223` (uint8 inputs → 2048-d TorchScript features)."""
+    path = path or FIXTURE_PATH
+    wpath = os.environ.get("SHGAN_TPU_INCEPTION", "")
+    if not os.path.isfile(wpath):
+        print("SHGAN_TPU_INCEPTION not set/found — cannot emit fixture")
+        return 1
+    have_ts = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION_TS", ""))
+    out = {"n": n, "res": np.asarray(res),
+           "weights_sha": _weights_sha(wpath)}
+    import jax.numpy as jnp
+    from shgan_tpu.eval.inception import (inception_features_and_probs,
+                                          load_inception_params)
+    params = load_inception_params(wpath)
+    for r in res:
+        x = fixed_batch(n, int(r))
+        # the torch oracle of the SAME weights: the port-parity target
+        out[f"feat_pth_{r}"] = torch_pth_features(x).astype(np.float32)
+        feat, probs = inception_features_and_probs(
+            params, jnp.asarray(x.astype(np.float32)))
+        out[f"feat_jax_{r}"] = np.asarray(feat, np.float32)
+        out[f"probs_jax_{r}"] = np.asarray(probs, np.float32)
+        if have_ts:
+            # the reference detector itself (the FID ground truth)
+            out[f"feat_ts_{r}"] = torchscript_features(x).astype(np.float32)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **out)
+    print(f"fixture written: {path} "
+          f"({'with' if have_ts else 'WITHOUT'} TorchScript features)")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, nargs="+", default=[299, 256, 512])
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--emit-fixture", nargs="?", const=FIXTURE_PATH,
+                    default=None, metavar="PATH",
+                    help="write the golden feature fixture (then exit); "
+                         "commit the file to pin detector parity")
     args = ap.parse_args()
+    if args.emit_fixture is not None:
+        return emit_fixture(args.emit_fixture, n=4, res=(299, 256))
 
     have_pth = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION", ""))
     have_ts = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION_TS", ""))
