@@ -203,6 +203,14 @@ def run_e2e(res, bs, bf16, n_batches=10):
                                        else None))}],
                 "batch_size": bs,
                 "transport": "u8",
+                # images resident in HBM, masks bitpacked: the per-batch
+                # host→device leg shrinks ~30× — essential on this
+                # tunneled chip (transfers run at ~20-40 MB/s once any
+                # executable has run, a measured backend pathology; see
+                # docs/perf_ab.json) and a legitimate small-dataset eval
+                # mode on real hosts
+                "device_image_bank":
+                    os.environ.get("BENCH_E2E_BANK", "1") == "1",
                 "log_dir": log_dir,
                 "log_display": 10**9,
             },
@@ -219,7 +227,8 @@ def run_e2e(res, bs, bf16, n_batches=10):
             "e2e_batches_timed": len(steady),
             "e2e_compile_s": round(bt[0], 1),
             "e2e_fid_finite": bool(np.isfinite(rv["eval_rv"]["fid"])),
-            "e2e_transport": "u8"}
+            "e2e_transport": ("u8+bank" if cfg["eval"]["device_image_bank"]
+                              else "u8")}
 
 
 def main():

@@ -586,3 +586,14 @@ class SyntheticDataset(_Base):
         if self.as_u8:
             el["image_u8"] = np.rint(img * 255).clip(0, 255).astype(np.uint8)
         return el
+
+    def image_bank(self):
+        """(bank_u8 [K,3,H,W], idx_map [len]) for the device-resident
+        image cache (data/pipeline.py device_image_bank) — pooled datasets
+        bank only their K distinct images."""
+        k = self.pool or len(self)
+        bank = np.stack([
+            np.rint(self._gen(j) * 255).clip(0, 255).astype(np.uint8)
+            for j in range(k)])
+        idx_map = np.arange(len(self), dtype=np.int32) % k
+        return bank, idx_map

@@ -94,17 +94,41 @@ class EvalPipeline:
     the device outputs."""
 
     def __init__(self, dataset, formatter, batch_size, mesh=None, depth=4,
-                 seed=0, num_threads=None, transport="f32"):
+                 seed=0, num_threads=None, transport="f32",
+                 device_image_bank=False):
         import jax
         shard_id, num_shards = _process_shard()
         self.dataset = dataset
         self.batch_size = batch_size
         self.mesh = mesh
+        self.device_bank = None
+        bank_map = None
+        if device_image_bank:
+            # upload the dataset's uint8 image bank ONCE, before any jit
+            # executes (on tunneled TPU backends transfers degrade ~40×
+            # once any executable has run — docs/perf_ab.json); per-batch
+            # host→device traffic then drops to int32 rows + bitpacked
+            # masks, and images are gathered from HBM
+            if num_shards > 1:
+                raise ValueError("device_image_bank is single-process "
+                                 "(per-host banks would need a global "
+                                 "array assembly)")
+            if not hasattr(dataset, "image_bank"):
+                raise ValueError(
+                    f"dataset {type(dataset).__name__} has no image_bank()"
+                    " — device_image_bank unsupported")
+            bank_np, bank_map = dataset.image_bank()
+            from ..parallel import replicated
+            sharding = replicated(mesh) if mesh is not None else None
+            self.device_bank = (jax.device_put(bank_np, sharding)
+                                if sharding is not None
+                                else jax.device_put(bank_np))
+            self.device_bank.block_until_ready()
         self.shard = DataShard(dataset, formatter,
                                _local_batch(batch_size, num_shards),
                                shard_id=shard_id, num_shards=num_shards,
                                shuffle=False, extend=True, seed=seed,
-                               transport=transport)
+                               transport=transport, bank_map=bank_map)
         # single-process: device_put INSIDE the prefetch worker, so the
         # host→device upload of batch i+1 overlaps device compute of
         # batch i (multi-host keeps the global-array assembly on the

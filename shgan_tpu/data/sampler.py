@@ -54,7 +54,7 @@ class DataShard:
 
     def __init__(self, dataset, formatter, batch_size, shard_id=0,
                  num_shards=1, shuffle=False, seed=0, extend=True,
-                 drop_last=False, epoch=0, transport="f32"):
+                 drop_last=False, epoch=0, transport="f32", bank_map=None):
         self.dataset = dataset
         self.formatter = formatter
         self.batch_size = batch_size
@@ -65,6 +65,12 @@ class DataShard:
         # host→device bytes, bit-identical for uint8-sourced images
         assert transport in ("f32", "u8"), transport
         self.transport = transport
+        # device-image-bank mode: images live in HBM (uploaded once by the
+        # pipeline); batches carry only int32 bank rows + BITPACKED masks
+        # (~30× fewer bytes/batch) — formatter still runs for its mask RNG
+        # stream, its image output is ignored (requires flip-free eval
+        # formatters, the published protocol)
+        self.bank_map = bank_map
         self.indices, self.valid = shard_indices(
             len(dataset), shard_id, num_shards, shuffle, seed, extend)
         # contiguous global offset of this shard (shards are equal-length
@@ -86,6 +92,17 @@ class DataShard:
             pad = bs - len(idx)
             idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
             val = np.concatenate([val, np.zeros(pad, dtype=bool)])
+        if self.bank_map is not None:
+            masks, uids = [], []
+            for j, i in enumerate(idx):
+                pos = self.global_offset + b * bs + j
+                with batch_rng(derive_seed(self.seed, pos, self.epoch)):
+                    _, m, u = self.formatter(self.dataset[int(i)])
+                masks.append(np.asarray(m) > 0.5)
+                uids.append(u)
+            packed = np.packbits(np.stack(masks)[:, None], axis=-1)
+            return (self.bank_map[idx].astype(np.int32), packed, val, uids)
+
         u8 = self.transport == "u8"
         reals, masks, uids = [], [], []
         for j, i in enumerate(idx):

@@ -97,10 +97,16 @@ class BaseEvaluator:
 
     @staticmethod
     def _apply_valid(arrays, valid):
-        """Drop padded rows (the extend=True padding of the sampler)."""
+        """Drop padded rows (the extend=True padding of the sampler).
+
+        All-valid batches pass through untouched — in particular device
+        arrays (deferred feature banks) are NOT pulled to the host, so
+        full batches never force a per-batch sync."""
         if valid is None:
             return arrays
         valid = np.asarray(valid, bool)
+        if valid.all():
+            return arrays
         return [None if a is None else np.asarray(a)[valid] for a in arrays]
 
 

@@ -57,10 +57,11 @@ class InceptionDetector:
         import weakref
         if want_probs:
             feat, probs = self._feat_probs(self.params, x)
-            probs = np.asarray(probs, np.float64)
         else:
             feat, probs = self._feat(self.params, x), None
-        feat = np.asarray(feat, np.float64)
+        # feat/probs stay DEVICE arrays: no per-batch host sync — the
+        # dispatch queue runs ahead and evaluators convert (float64) at
+        # compute time.  A [N,2048] f32 bank entry is ~1 MB of HBM.
         try:
             entry = (weakref.ref(x), True, feat, probs)
         except TypeError:
@@ -70,7 +71,10 @@ class InceptionDetector:
         return feat, probs
 
     def features(self, x):
-        """x: uint8-valued [N, 3, H, W] → [N, 2048] float64 features.
+        """x: uint8-valued [N, 3, H, W] → [N, 2048] features (device f32;
+        convert with ``np.asarray(feat, np.float64)`` at accumulation/
+        compute time — keeping the result on device avoids a host sync
+        per batch).
 
         Never touches the classifier head — a plain FID/KID/PR run costs
         only the trunk for both streams.  If an IS metric later asks for
@@ -83,13 +87,13 @@ class InceptionDetector:
         return self._run(x, want_probs=False)[0]
 
     def features_and_probs(self, x):
-        """→ ([N, 2048] features, [N, 1008] softmax probs), both float64."""
+        """→ ([N, 2048] features, [N, 1008] softmax probs), device f32."""
         i = self._find(x)
         if i is not None:
             ref, is_weak, feat, probs = self._memo[i]
             if probs is None:
                 # head-only upgrade from the memoized trunk features
-                probs = np.asarray(self._head(self.params, feat), np.float64)
+                probs = self._head(self.params, feat)
                 self._memo[i] = (ref, is_weak, feat, probs)
             return feat, probs
         return self._run(x, True)

@@ -93,18 +93,27 @@ class FeatureBankEvaluator(BaseEvaluator):
                          else self.sample_fake_n)
         sample_real_n = (self.sample_n if self.sample_real_n is None
                          else self.sample_real_n)
-        fake_feat = np.concatenate(self.data_fake_feat, 0)[:sample_fake_n]
+
+        def _bank(chunks):
+            # chunks may be deferred DEVICE f32 arrays (detector keeps
+            # results on device so the dispatch queue runs ahead); the
+            # host pull + float64 widening happen here, once, matching
+            # the reference's float64 banks (eva_fid.py:207-211) and
+            # keeping the real-feature cache byte-compatible.  f32→f64 is
+            # exact, so deferral does not change any metric value.
+            return np.concatenate(
+                [np.asarray(c, np.float64) for c in chunks], 0)
+
+        fake_feat = _bank(self.data_fake_feat)[:sample_fake_n]
         fake_probs = None
         if self.data_fake_probs:
-            fake_probs = np.concatenate(self.data_fake_probs,
-                                        0)[:sample_fake_n]
+            fake_probs = _bank(self.data_fake_probs)[:sample_fake_n]
         real_feat = None
         if self.needs_real:
             if self.dsstat_use_cache:
                 real_feat = np.load(self.dsstat_cache_file)[:sample_real_n]
             else:
-                real_feat = np.concatenate(self.data_real_feat,
-                                           0)[:sample_real_n]
+                real_feat = _bank(self.data_real_feat)[:sample_real_n]
                 if self.dsstat_cache_file is not None:
                     from ..parallel import is_lead
                     if is_lead():  # writer-process convention

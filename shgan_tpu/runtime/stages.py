@@ -142,6 +142,21 @@ def draw_demo_grid(G, params, dataset, formatter, log_dir, z_dim,
     save_image_grid(erased, osp.join(out, "erased.png"), (-1, 1), grid_size)
 
 
+def _check_batch_limits(cfg_model_g, batch_size, n_dev, where):
+    """Fail fast on known-bad (resolution, per-chip batch) TPU configs —
+    the alternative is a 15-25 min compile ending in an opaque HTTP 500
+    (runtime/limits.py table)."""
+    from .limits import validate_per_chip_batch
+    try:
+        syn = (cfg_model_g.get("args") or {}).get("synthesis") or {}
+        args = syn.get("args") or {}
+        res, ch_base = args.get("resolution"), args.get("ch_base", 0)
+    except AttributeError:
+        return
+    if res and ch_base and ch_base >= 32768:  # full-size channel plan only
+        validate_per_chip_batch(res, batch_size // max(n_dev, 1), where)
+
+
 def _num_workers(cfg_section, n_dev):
     """Host pipeline worker threads from config (the reference's
     dataset_num_workers[_per_gpu], shgan_default.py:193-201); None →
@@ -171,6 +186,7 @@ class eval_stage:
         batch_size = cfgv.get("batch_size") or (
             cfgv["batch_size_per_gpu"] * n_dev)
         print_log(f"devices: {n_dev}, global eval batch: {batch_size}")
+        _check_batch_limits(cfg["model_g"], batch_size, n_dev, "eval_stage")
 
         if n_dev == 1 and jax.default_backend() == "tpu" \
                 and cfgv.get("pallas_noise", True):
@@ -199,11 +215,15 @@ class eval_stage:
         # 'u8' transport ships batches to the device as uint8 (4× fewer
         # bytes over PCIe/tunnel; bit-identical for uint8-sourced images,
         # see models/infer.py) — the throughput default for device-fed
-        # metric stacks; 'f32' remains the parity default
+        # metric stacks; 'f32' remains the parity default.
+        # device_image_bank additionally keeps the images resident in HBM
+        # (uploaded once) so per-batch host→device traffic is int32 rows
+        # + bitpacked masks.
         transport = cfgv.get("transport", "f32")
+        use_bank = bool(cfgv.get("device_image_bank", False))
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh,
                             seed=seed, num_threads=_num_workers(cfgv, n_dev),
-                            transport=transport)
+                            transport=transport, device_image_bank=use_bank)
 
         pretrained = cfgv.get("pretrained_pth")
         if (pretrained and not osp.isfile(pretrained)
@@ -231,12 +251,18 @@ class eval_stage:
                 return {"eval_rv": None}
 
         evaluator = self._build_evaluator(cfgv, cfge)
+        if use_bank and getattr(evaluator, "needs_generator", False):
+            raise ValueError(
+                "device_image_bank does not support generator-in-the-loop "
+                "metrics (PPL) — drop the bank or the metric")
 
         # eval runs with random noise like the reference
         # (shgan_default.py:260); parity runs pin noise_mode: const/none
         noise_mode = cfgv.get("noise_mode", "random")
 
         from ..models.infer import composite_forward, z_for_positions
+
+        bank = pipe.device_bank
 
         @jax.jit
         def run_generator(params, real, mask, z, rng_data):
@@ -245,6 +271,17 @@ class eval_stage:
             rng = jax.random.wrap_key_data(rng_data)
             return composite_forward(G, params, real, mask, z, rng,
                                      noise_mode=noise_mode)
+
+        @jax.jit
+        def expand_bank_batch(idx, pmask):
+            """Bank mode: int32 rows → uint8 images from the HBM-resident
+            bank; bitpacked masks → uint8 {0,1}.  Its own small jit so the
+            generator graph (and its compile cache entry) is unchanged."""
+            real = jnp.take(bank, idx, axis=0)
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (pmask[..., None] >> shifts) & jnp.uint8(1)
+            mask = bits.reshape(pmask.shape[:-1] + (pmask.shape[-1] * 8,))
+            return real, mask
 
         @jax.jit
         def dev_views_f32(fake_u8, real):
@@ -311,6 +348,8 @@ class eval_stage:
             with jax.default_device(_cpu):
                 key, kn = jax.random.split(key)
             (z,) = local_batch_to_global((local_z(idx),), mesh)
+            if bank is not None:
+                real, mask = expand_bank_batch(real, mask)
             fake = run_generator(params, real, mask, z,
                                  np.asarray(jax.random.key_data(kn)))
             if phase_log:
@@ -440,6 +479,7 @@ class train_stage:
         n_dev = mesh.devices.size
         batch_size = cfgt.get("batch_size") or (
             cfgt["batch_size_per_gpu"] * n_dev)
+        _check_batch_limits(cfg["model_g"], batch_size, n_dev, "train_stage")
 
         dataset = get_dataset(cfgt["dataset"],
                               fallback_synthetic=cfge.get("debug", False))

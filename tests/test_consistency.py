@@ -36,3 +36,16 @@ def test_sharded_array_flagged():
                             .reshape(8, 4),), mesh)
     with pytest.raises(AssertionError):
         check_replicated({"x": batch})
+
+
+@pytest.mark.slow
+def test_flagship_shape_virtual_mesh():
+    """512² shgan_g512_small SPMD forward + train step on the virtual
+    mesh (VERDICT r2 #9): sharding correctness at real spatial shapes.
+    Runs in the dryrun's self-pinned subprocess (2 virtual devices — the
+    8-participant CPU collectives are fragile on this 1-core box)."""
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    import __graft_entry__ as g
+    g.dryrun_multichip(2, flagship=True)

@@ -115,3 +115,43 @@ def test_device_fed_compose_skips_host_readback(tmp_path, monkeypatch):
     # are the same arrays)
     assert rv["eval_rv"]["fid"] == pytest.approx(rv2["eval_rv"]["fid"],
                                                  rel=1e-6)
+
+
+def test_device_image_bank_matches_inline_u8(tmp_path):
+    """Bank mode (HBM-resident images + bitpacked masks) reproduces the
+    inline-u8 stage results exactly: same images (bank gather of the same
+    uint8 rows), same masks (bitpack/unpack is lossless), same z/noise."""
+    from shgan_tpu.runtime.stages import eval_stage
+
+    ev = [{"type": "psnr", "args": {"for_dataset": None, "rgb_range": 1}},
+          {"type": "ssim", "args": {"window_size": 11}}]
+    c_inline = _cfg(tmp_path, "u8", ev)
+    c_inline["eval"]["dataset"]["args"]["as_u8"] = True
+    c_inline["eval"]["dataset"]["args"]["pool"] = 4
+    rv_inline = eval_stage()(c_inline)
+
+    c_bank = _cfg(tmp_path, "u8", ev)
+    c_bank["eval"]["dataset"]["args"]["as_u8"] = True
+    c_bank["eval"]["dataset"]["args"]["pool"] = 4
+    c_bank["eval"]["log_dir"] = str(tmp_path / "bank")
+    c_bank["eval"]["device_image_bank"] = True
+    rv_bank = eval_stage()(c_bank)
+
+    assert rv_bank["eval_rv"]["psnr"] == pytest.approx(
+        rv_inline["eval_rv"]["psnr"], abs=1e-5)
+    assert rv_bank["eval_rv"]["ssim"] == pytest.approx(
+        rv_inline["eval_rv"]["ssim"], abs=1e-6)
+
+
+def test_device_image_bank_rejects_ppl(tmp_path):
+    import jax
+    from shgan_tpu.runtime.stages import eval_stage
+    from shgan_tpu.eval.lpips import random_lpips_params
+
+    lp = random_lpips_params(jax.random.key(0))
+    ev = [{"type": "ppl", "args": {"num_samples": 4, "batch_size": 4,
+                                   "lpips_params": lp, "net": "alex"}}]
+    cfg = _cfg(tmp_path, "u8", ev)
+    cfg["eval"]["device_image_bank"] = True
+    with pytest.raises(ValueError, match="device_image_bank"):
+        eval_stage()(cfg)

@@ -63,3 +63,43 @@ def test_fullsize_shgan_g256_pth_roundtrip(ref, tmp_path):
     assert got.shape == want.shape == (N, 3, 256, 256)
     err = np.abs(got - want).max()
     assert err < 1e-3, f"max abs err {err} (north star: <=1e-3)"
+
+
+def test_fullsize_shgan_g512_pth_roundtrip(ref, tmp_path):
+    """Same round-trip at the 512² released architecture — the b512 key
+    space, num_ws=16 and the 512-level channel plan
+    (`/root/reference/configs/model/comodgan.yaml:36-49`) at the
+    resolution the headline throughput metric quotes."""
+    cfg = model_cfg_bank()("shgan_g512")
+
+    tm = ref.stylegan.Mapping(**cfg["args"]["mapping"]["args"]).eval()
+    tenc = ref.shgan.Encoder(**cfg["args"]["encoder"]["args"]).eval()
+    tsyn = ref.comodgan.Synthesis(**cfg["args"]["synthesis"]["args"]).eval()
+    tg = ref.comodgan.Generator(tm, tenc, tsyn).eval()
+
+    path = tmp_path / "shgan_g512.pth"
+    torch.save(tg.state_dict(), str(path))
+
+    g = get_model(cfg)
+    params = g.init(jax.random.key(0))
+    loaded = torch_state_dict_to_params(load_torch_pth(str(path)))
+    params = _merge_params(params, loaded, strict=True)
+
+    rng = np.random.RandomState(1)
+    N = 1
+    real = rng.randn(N, 3, 512, 512).astype(np.float32)
+    mask = (rng.rand(N, 1, 512, 512) > 0.4).astype(np.float32)
+    x = np.concatenate([mask - 0.5, real * mask], axis=1)
+    z = rng.randn(N, 512).astype(np.float32)
+    c = np.zeros((N, 0), dtype=np.float32)
+
+    with torch.no_grad():
+        want = tg(torch.from_numpy(x), torch.from_numpy(z),
+                  torch.from_numpy(c), noise_mode="const").numpy()
+
+    fwd = jax.jit(lambda p, x, z: g(p, x, z, noise_mode="const"))
+    got = np.asarray(fwd(params, jnp.asarray(x), jnp.asarray(z)))
+
+    assert got.shape == want.shape == (N, 3, 512, 512)
+    err = np.abs(got - want).max()
+    assert err < 1e-3, f"max abs err {err} (north star: <=1e-3)"
