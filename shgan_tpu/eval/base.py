@@ -95,6 +95,23 @@ class BaseEvaluator:
                 local = np.concatenate([np.asarray(v) for v in val], axis=0)
                 setattr(self, name, [allgather_rows(local)])
 
+    def drain(self):
+        """Fence all deferred device work in the accumulators.
+
+        With device-resident feature banks (detector deferral) the eval
+        loop only measures *dispatch*; honest throughput timing must wait
+        for the device to finish.  TPU executes executables in launch
+        order, so reading one scalar from the LAST accumulated array
+        proves everything before it completed (a tiny device→host read —
+        ``block_until_ready`` alone is not a reliable fence on tunneled
+        backends)."""
+        for name, val in self.__dict__.items():
+            if (name == "data" or name.startswith("data_")) \
+                    and isinstance(val, list) and val:
+                last = val[-1]
+                if last is not None and hasattr(last, "device"):
+                    np.asarray(last[(0,) * last.ndim])
+
     @staticmethod
     def _apply_valid(arrays, valid):
         """Drop padded rows (the extend=True padding of the sampler).
@@ -160,6 +177,10 @@ class ComposeEvaluator:
     def sync_across_processes(self):
         for e in self.evaluators:
             e.sync_across_processes()
+
+    def drain(self):
+        for e in self.evaluators:
+            e.drain()
 
     def compute(self):
         return {e.symbol: e.compute() for e in self.evaluators}

@@ -395,6 +395,13 @@ class eval_stage:
                     idx + 1, now - t0))
                 t0 = now
 
+        # fence the deferred device work (feature banks dispatch ahead of
+        # the host) — timed separately so throughput accounting is honest:
+        # the loop above measures dispatch, loop+drain measures work done
+        t_loop_end = timeit.default_timer()
+        evaluator.drain()
+        drain_s = timeit.default_timer() - t_loop_end
+
         if jax.process_count() > 1:
             # restore global dataset order across hosts before computing
             evaluator.sync_across_processes()
@@ -409,8 +416,8 @@ class eval_stage:
         evaluator.clear_data()
         # per-batch wall times (batch 0 carries the jit compiles) — the
         # e2e throughput bench reads these (bench.py BENCH_E2E)
-        timing = {"batch_s": batch_s, "global_batch": batch_size,
-                  "images": len(dataset)}
+        timing = {"batch_s": batch_s, "drain_s": drain_s,
+                  "global_batch": batch_size, "images": len(dataset)}
         return {"eval_rv": rv, "timing": timing}
 
     @staticmethod
