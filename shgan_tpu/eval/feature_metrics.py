@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 
+import jax
 import numpy as np
 
 from .base import BaseEvaluator, register_evaluator
@@ -48,7 +49,6 @@ class FeatureBankEvaluator(BaseEvaluator):
         if dsstat_cachefile_tag is not None and self.needs_real:
             self.dsstat_cache_file = osp.join(
                 cache_dir, dsstat_cachefile_tag + "_real_feat.npy")
-            import jax
             if jax.process_count() > 1:
                 # the use-cache decision must be uniform across processes
                 # (sync_across_processes pairs collectives by which banks
@@ -78,6 +78,17 @@ class FeatureBankEvaluator(BaseEvaluator):
         real_feat = None
         if self.needs_real and not self.dsstat_use_cache:
             real_feat = self.detector.features(rx)
+        if jax.process_count() > 1:
+            # multi-host dev feeds: the detector consumed GLOBAL sharded
+            # pixel arrays (no host round trip for images); each process
+            # keeps its own contiguous feature rows — [n_local, 2048] per
+            # batch is the only device→host traffic, and the existing
+            # allgather in sync_across_processes restores global order
+            from ..parallel import local_rows
+            fake_feat = local_rows(fake_feat)
+            fake_probs = None if fake_probs is None else local_rows(
+                fake_probs)
+            real_feat = None if real_feat is None else local_rows(real_feat)
         fake_feat, fake_probs, real_feat = self._apply_valid(
             [fake_feat, fake_probs, real_feat], valid)
         self.data_fake_feat.append(fake_feat)

@@ -263,7 +263,12 @@ class LPIPSEvaluator(BaseEvaluator):
         device-to-device."""
         x0 = np.asarray(pred) if pred_dev is None else pred_dev
         x1 = np.asarray(gt) if gt_dev is None else gt_dev
-        d = np.asarray(self._dist(self.params, x0, x1), np.float64)
+        # multi-host: the dev views are GLOBAL sharded arrays — keep this
+        # process's contiguous rows (parallel/multihost.py local_rows;
+        # single-host it is a plain np.asarray)
+        from ..parallel import local_rows
+        d = np.asarray(local_rows(self._dist(self.params, x0, x1)),
+                       np.float64)
         (d,) = self._apply_valid([d], valid)
         self.data.append(d)
 

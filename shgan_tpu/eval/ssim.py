@@ -31,7 +31,14 @@ def _gaussian_window(window_size=11, sigma=1.5):
 
 @partial(jax.jit, static_argnames=("window_size",))
 def compute_ssim(img1, img2, window_size=11):
-    """Per-image SSIM for NCHW float inputs in [0, 1]."""
+    """Per-image SSIM for NCHW inputs in [0, 1] (uint8 0..255 device
+    views rescale inside the jit — the C1/C2 stabilizers assume unit
+    range, same convention as the reference's eva_ssim.py)."""
+    def to01(x):
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 255.0
+        return x.astype(jnp.float32)
+    img1, img2 = to01(img1), to01(img2)
     c = img1.shape[1]
     w = jnp.asarray(_gaussian_window(window_size))
     kernel = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
@@ -63,11 +70,15 @@ class SSIMEvaluator(BaseEvaluator):
 
     def add_batch(self, pred, gt, valid=None, pred_dev=None, gt_dev=None,
                   **_):
-        pred = jnp.asarray(np.asarray(pred) if pred_dev is None
-                           else pred_dev, jnp.float32)
-        gt = jnp.asarray(np.asarray(gt) if gt_dev is None else gt_dev,
-                         jnp.float32)
-        s = np.asarray(compute_ssim(pred, gt, self.window_size), np.float64)
+        pred = pred_dev if pred_dev is not None else jnp.asarray(
+            np.asarray(pred), jnp.float32)
+        gt = gt_dev if gt_dev is not None else jnp.asarray(
+            np.asarray(gt), jnp.float32)
+        # multi-host: dev views are GLOBAL sharded arrays — keep this
+        # process's contiguous rows (single-host: plain np.asarray)
+        from ..parallel import local_rows
+        s = np.asarray(local_rows(compute_ssim(pred, gt, self.window_size)),
+                       np.float64)
         (s,) = self._apply_valid([s], valid)
         self.data_ssim.append(s)
 

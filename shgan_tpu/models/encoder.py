@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.minibatch_std import minibatch_std
+from ..parallel.spatial import constrain as spatial_constrain
 from .layers import Dense, Conv2dLayer
 from .mapping import Mapping
 
@@ -75,7 +76,8 @@ class EncoderBlock:
         else:
             feat = self.conv0(params["conv0"], x)
             x = self.conv1(params["conv1"], feat)
-        return x, feat
+        # opt-in spatial sharding (parallel/spatial.py): no-op by default
+        return spatial_constrain(x), spatial_constrain(feat)
 
 
 class EncoderEpilogue:

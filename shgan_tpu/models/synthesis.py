@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.upfirdn2d import setup_filter, upsample2d
+from ..parallel.spatial import constrain as spatial_constrain
 from .layers import Dense, Conv2dLayer, SynthesisLayer, ToRGBLayer
 
 
@@ -123,7 +124,9 @@ class StyleGANSynthesisBlock:
             y = self.torgb(params["torgb"], x, ws[:, w_idx])
             y = y.astype(jnp.float32)
             img = img + y if img is not None else y
-        return x, img
+        # opt-in spatial sharding (parallel/spatial.py): no-op unless the
+        # spatial_sharding() context is active on a model-axis>1 mesh
+        return spatial_constrain(x), spatial_constrain(img)
 
 
 class StyleGANSynthesis:
@@ -299,7 +302,7 @@ class CoModSynthesisBlock:
             w_long = jnp.concatenate([ws[:, 2], w0], axis=1)
             y = self.torgb(params["torgb"], x, w_long).astype(jnp.float32)
             img = img + y if img is not None else y
-        return x, img
+        return spatial_constrain(x), spatial_constrain(img)
 
 
 class CoModSynthesis:

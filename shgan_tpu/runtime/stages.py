@@ -325,14 +325,14 @@ class eval_stage:
         with jax.default_device(_cpu):
             key = jax.random.key(seed)
         log_display = cfgv.get("log_display", 10)
-        single_proc = jax.process_count() == 1
         # when every configured metric reads its device view (FID/KID/PR/
         # IS/LPIPS), skip the full-image device→host readback entirely —
-        # only 2048-d features / per-image distances ever cross the link
-        # (multi-host always reads back: the per-process feature banks
-        # gather on the host later)
-        needs_np = (not single_proc
-                    or getattr(evaluator, "consumes_host_pixels", True))
+        # only 2048-d features / per-image distances ever cross the link.
+        # Multi-host included: the detector/LPIPS jits consume the GLOBAL
+        # sharded arrays and each process keeps local_rows of the feature
+        # output (eval/feature_metrics.py add_batch), so the multi-host
+        # eval path now runs the same device-fed code as single-host
+        needs_np = getattr(evaluator, "consumes_host_pixels", True)
         batch_s = []
         phase_log = os.environ.get("SHGAN_EVAL_TIMING") == "1"
         t0 = timeit.default_timer()
@@ -355,11 +355,11 @@ class eval_stage:
             if phase_log:
                 jax.block_until_ready(fake)
             t_c = timeit.default_timer()
-            # single-process: also hand the evaluators device views so
-            # the Inception/LPIPS forwards skip the host round trip
-            # (multi-host keeps the numpy path — per-process feature
-            # banks gather later via sync_across_processes)
-            dev = dev_views(fake, real) if single_proc else {}
+            # hand the evaluators device views so the Inception/LPIPS
+            # forwards skip the host round trip (multi-host included:
+            # the jits consume the global sharded arrays and evaluators
+            # keep local feature rows — see eval/feature_metrics.py)
+            dev = dev_views(fake, real)
             if needs_np:
                 # local_rows: this process's block of the global batch —
                 # the same rows its DataShard formatted (valid/uids too)

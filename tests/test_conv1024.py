@@ -1,0 +1,28 @@
+"""Opt-in Pallas low-channel conv (ops/conv1024.py) vs the XLA conv it
+can replace — interpret mode on the CPU-pinned test backend (the TPU
+numbers live in docs/perf_ab.json's "1024² conv formulations" record)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.pallas import tpu as pltpu
+
+import shgan_tpu.ops.conv1024 as c24
+
+
+@pytest.mark.parametrize("n,c,h,w", [(2, 8, 16, 256), (1, 32, 24, 128)])
+def test_conv3x3_lowch_matches_xla(n, c, h, w, monkeypatch):
+    monkeypatch.setattr(c24, "BH", 8)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, c, h, w).astype(np.float32))
+    wt = jnp.asarray(rng.randn(c, c, 3, 3).astype(np.float32) * 0.1)
+    want = lax.conv_general_dilated(
+        x, wt, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(
+            lambda a, b: c24.conv3x3_lowch.__wrapped__(a, b))(x, wt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
