@@ -67,11 +67,15 @@ def main():
     from shgan_tpu.runtime.logging import print_log, set_log_file
     from shgan_tpu.runtime.stages import eval_stage, train_stage
 
-    if args.resume_path is not None and args.eval is None:
+    if (args.resume_path is not None and args.eval is None
+            and args.experiment is None):
         # --resume_path ALONE reconstructs the run: the solved cfg comes
         # from the run dir's dumped config.yaml, training resumes into
         # the same log dir, and CLI env overrides apply on top
-        # (reference cfg_helper.py:422-462)
+        # (reference cfg_helper.py:422-462).  With --experiment also
+        # given, the named experiment wins and resume_path only points at
+        # the weights (see below) — e.g. a bare snapshot dir with no
+        # config.yaml, or warm-starting a different experiment.
         return _resume_main(args)
     if args.experiment is None:
         raise SystemExit("--experiment is required (or --resume_path to "
@@ -95,6 +99,20 @@ def main():
         cfg.pop("eval", None)
     if args.pick is not None and cfg.get("eval") is not None:
         cfg["eval"]["dataset"]["pick"] = list(args.pick)
+
+    if args.resume_path is not None and args.eval is None:
+        # --experiment + --resume_path: resume these weights into the
+        # NAMED experiment config (new log dir; the run-reconstruction
+        # path above needs --resume_path alone)
+        if cfg.get("train") is None:
+            raise SystemExit(f"--resume_path given but experiment "
+                             f"[{args.experiment}] has no train section")
+        cfg["train"]["resume_path"] = args.resume_path
+        if args.resume_itern is not None:
+            cfg["train"]["resume_itern"] = args.resume_itern
+        print_log(f"resume weights [{args.resume_path}] into experiment "
+                  f"[{args.experiment}] (a NEW run; omit --experiment to "
+                  "reconstruct the original run from its config.yaml)")
 
     is_eval = args.eval is not None or cfg.get("train") is None
     if is_eval:

@@ -105,12 +105,17 @@ class BaseEvaluator:
         proves everything before it completed (a tiny device→host read —
         ``block_until_ready`` alone is not a reliable fence on tunneled
         backends)."""
+        import jax
         for name, val in self.__dict__.items():
             if (name == "data" or name.startswith("data_")) \
                     and isinstance(val, list) and val:
-                last = val[-1]
-                if last is not None and hasattr(last, "device"):
-                    np.asarray(last[(0,) * last.ndim])
+                # the LAST non-empty device chunk (zero-row chunks exist
+                # when a batch was fully padding; numpy>=2 arrays also
+                # carry a .device attribute, so type-check explicitly)
+                for last in reversed(val):
+                    if isinstance(last, jax.Array) and last.size:
+                        np.asarray(last[(0,) * last.ndim])
+                        break
 
     @staticmethod
     def _apply_valid(arrays, valid):

@@ -122,9 +122,28 @@ class PPLEvaluator(BaseEvaluator):
             # (perceptual_path_length.py:41-48); net='alex' reuses the
             # LPIPS-metric assets instead
             from .lpips import resolve_lpips_params
-            self.lpips_params = resolve_lpips_params(
-                net, alexnet_weights=alexnet_weights,
-                vgg16_weights=vgg16_weights, lin_weights=lin_weights)
+            try:
+                self.lpips_params = resolve_lpips_params(
+                    net, alexnet_weights=alexnet_weights,
+                    vgg16_weights=vgg16_weights, lin_weights=lin_weights)
+            except FileNotFoundError as e:
+                if net != "vgg16":
+                    raise
+                # setups provisioned only with the LPIPS-metric alex
+                # assets keep working — loudly, since absolute PPL is
+                # then NOT comparable to the reference's vgg16 protocol
+                try:
+                    self.lpips_params = resolve_lpips_params(
+                        "alex", alexnet_weights=alexnet_weights)
+                except FileNotFoundError:
+                    raise e from None
+                self.net = net = "alex"
+                from ..runtime.logging import print_log
+                print_log(
+                    "PPL: vgg16 LPIPS weights not found — falling back to "
+                    "net=alex (absolute PPL not comparable to the "
+                    "reference's vgg16 embedding; set SHGAN_TPU_VGG16 + "
+                    "SHGAN_TPU_LPIPS_LIN_VGG for protocol-exact runs)")
         self._contexts = []  # [C,H,W] float32 generator inputs (mask‖masked)
         self.data_dist = []
 

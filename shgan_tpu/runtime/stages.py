@@ -116,6 +116,11 @@ def draw_demo_grid(G, params, dataset, formatter, log_dir, z_dim,
     reals, masks = [], []
     for i in range(n):
         r, m, _ = formatter(dataset[i % len(dataset)])
+        r = np.asarray(r)
+        if r.dtype == np.uint8:
+            # u8-transport formatters return 0..255 (data/sampler.py
+            # contract); the demo path normalizes on the host
+            r = r.astype(np.float32) / 127.5 - 1.0
         reals.append(np.asarray(r, np.float32))
         masks.append(np.asarray(m, np.float32))
     real = np.stack(reals)

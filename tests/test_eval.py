@@ -82,6 +82,53 @@ def test_psnr_valid_mask():
     assert a == pytest.approx(ev2.compute(), rel=1e-9)
 
 
+def test_drain_skips_zero_row_and_host_chunks():
+    """drain() fences the last DEVICE chunk; zero-row chunks (fully-padded
+    batches → _apply_valid leaves 0 rows) and host numpy chunks (which on
+    numpy>=2 also expose a .device attribute) must not crash it."""
+    import jax.numpy as jnp
+    pred, gt = _images(2)
+    ev = PSNREvaluator()
+    ev.add_batch(pred=pred, gt=gt)
+    # a fully-invalid batch appends a 0-row numpy chunk
+    ev.add_batch(pred=pred, gt=gt, valid=np.zeros(2, bool))
+    ev.drain()  # must not IndexError on the empty chunk
+    # device chunk followed by an empty one: drain fences the device chunk
+    ev.data_psnr.append(jnp.zeros((0, 3)))
+    ev.data_psnr.append(jnp.arange(6.0).reshape(2, 3))
+    ev.data_psnr.append(np.zeros((0, 3)))
+    ev.drain()
+
+
+def test_ppl_vgg16_backbone_falls_back_to_alex(monkeypatch):
+    """Setups provisioned only with the LPIPS-metric alex assets keep
+    working when PPL's default vgg16 weights are absent (loud fallback,
+    eval/ppl.py)."""
+    import shgan_tpu.eval.lpips as lpips_mod
+    from shgan_tpu.eval.ppl import PPLEvaluator
+
+    calls = []
+
+    def fake_resolve(net="alex", **kw):
+        calls.append(net)
+        if net == "vgg16":
+            raise FileNotFoundError("no vgg16 assets")
+        return {"stub": True}
+
+    monkeypatch.setattr(lpips_mod, "resolve_lpips_params", fake_resolve)
+    ev = PPLEvaluator()
+    assert ev.net == "alex"
+    assert calls == ["vgg16", "alex"]
+    assert ev.lpips_params == {"stub": True}
+
+    def none_resolve(net="alex", **kw):
+        raise FileNotFoundError(f"no {net} assets")
+
+    monkeypatch.setattr(lpips_mod, "resolve_lpips_params", none_resolve)
+    with pytest.raises(FileNotFoundError, match="vgg16"):
+        PPLEvaluator()
+
+
 def test_frechet_distance_known():
     # identical Gaussians → 0; shifted means → squared distance
     mu = np.zeros(8)

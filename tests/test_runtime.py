@@ -94,6 +94,39 @@ def test_save_image_grid(tmp_path):
     assert im.size == (48, 32)
 
 
+def test_draw_demo_grid_u8_formatter(tmp_path):
+    """u8-transport formatters return 0..255 images; the demo grid must
+    normalize them on the host (runtime/stages.py draw_demo_grid) — a
+    raw-u8 passthrough would clip reals.png to all-white."""
+    from shgan_tpu.data.formatters import RandomMaskFormatter
+    from shgan_tpu.runtime.stages import draw_demo_grid
+
+    rng = np.random.RandomState(0)
+    res, n = 16, 4
+    imgs = [rng.randint(0, 256, (3, res, res), dtype=np.uint8)
+            for _ in range(n)]
+    dataset = [{"image_u8": im, "unique_id": str(i)}
+               for i, im in enumerate(imgs)]
+    fmt = RandomMaskFormatter(random_flip=False, mask_resolution=res,
+                              hole_range=[0, 1], impl="numpy")
+
+    def stub_g(params, x, z, noise_mode="const"):
+        return x[:, 1:4]  # the erased RGB channels, already [-1,1]
+
+    draw_demo_grid(stub_g, {}, dataset, fmt, str(tmp_path), z_dim=8,
+                   grid_size=(2, 2), batch=4)
+    from PIL import Image
+    real = np.asarray(Image.open(tmp_path / "demo" / "reals.png"))
+    assert real.shape == (2 * res, 2 * res, 3)
+    # tile (0,0) of reals.png must round-trip the first u8 image
+    np.testing.assert_allclose(real[:res, :res].transpose(2, 0, 1)
+                               .astype(np.int32),
+                               imgs[0].astype(np.int32), atol=1)
+    for name in ("fakes.png", "fakes_combined.png", "masks.png",
+                 "erased.png"):
+        assert (tmp_path / "demo" / name).exists()
+
+
 def test_scalar_logger(tmp_path):
     import json
     from shgan_tpu.runtime.logging import ScalarLogger

@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     a = ap.parse_args()
     bs = a.bs
+    # persistent compile cache (works through the remote helper; reruns
+    # of these probe graphs then compile in ~ms)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     dt = jnp.float32 if a.fp32 else jnp.bfloat16
     dsize = 4 if a.fp32 else 2
     print("backend:", jax.default_backend(), jax.devices()[0],

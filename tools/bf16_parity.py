@@ -31,6 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def compare(res=512, bs=8, small=False, seed=0, noise_mode="const"):
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: the two full-size 512² graphs here are
+    # multi-minute remote compiles, ~30 ms on a cached rerun (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     from shgan_tpu.runtime.config import model_cfg_bank
     from shgan_tpu.models import get_model
     from shgan_tpu.models.infer import composite_forward
