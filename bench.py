@@ -90,6 +90,21 @@ def _sweep_candidates(res):
     return [top, max(8, int(top * 0.8) // 8 * 8)]
 
 
+def _probe_backend(timeout_s):
+    """True iff a fresh process can initialize the backend (device tunnel
+    up) within ``timeout_s``.  A dead tunnel makes backend init block
+    FOREVER at 0% CPU (measured: 7+ min before an external kill) — probing
+    in a disposable subprocess converts that hang into a reportable error."""
+    import subprocess
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _sweep_in_subprocesses(batches):
     """Run one bench subprocess per batch size and merge the results.
 
@@ -101,8 +116,18 @@ def _sweep_in_subprocesses(batches):
 
     def run_one(bs):
         env = dict(os.environ, BENCH_BATCH=str(bs))
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              capture_output=True, text=True, env=env)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env,
+                timeout=float(os.environ.get("BENCH_SUBPROC_TIMEOUT",
+                                             "3600")))
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write((e.stderr or b"").decode("utf-8", "replace")
+                             if isinstance(e.stderr, bytes)
+                             else (e.stderr or ""))
+            print(f"# batch {bs} subprocess timed out", file=sys.stderr)
+            return None
         sys.stderr.write(proc.stderr)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
             else ""
@@ -139,8 +164,14 @@ def _e2e_in_subprocess(batch):
     import subprocess
 
     env = dict(os.environ, BENCH_E2E_RUN="1", BENCH_BATCH=str(batch))
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          capture_output=True, text=True, env=env)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+            timeout=float(os.environ.get("BENCH_SUBPROC_TIMEOUT", "3600")))
+    except subprocess.TimeoutExpired:
+        print("# e2e subprocess timed out", file=sys.stderr)
+        return None
     sys.stderr.write(proc.stderr)
     line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
         else ""
@@ -280,6 +311,15 @@ def main():
     if (os.environ.get("BENCH_DEVICE") != "cpu"
             and not os.environ.get("BENCH_BATCH")
             and os.environ.get("BENCH_SUBPROC", "1") == "1"):
+        probe_s = float(os.environ.get("BENCH_CONNECT_TIMEOUT", "300"))
+        if not _probe_backend(probe_s):
+            print(json.dumps({
+                "metric": "512x512 inpainted images/sec/chip",
+                "value": 0.0, "unit": "img/s/chip", "vs_baseline": None,
+                "detail": {"error": "backend unreachable: jax.devices() "
+                           f"did not return within {probe_s:.0f}s "
+                           "(device tunnel down?)"}}))
+            return
         # isolate each candidate size in its own process so a device OOM
         # can't poison the remaining batches
         best = _sweep_in_subprocesses(
