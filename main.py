@@ -34,6 +34,10 @@ def get_args():
     p.add_argument("--signature", nargs="+", type=str, default=None)
     p.add_argument("--pretrained", type=str, default=None,
                    help="override eval.pretrained_pth")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="compat alias of --pretrained (the reference "
+                        "declares but never consumes this flag, "
+                        "cfg_helper.py:313)")
     p.add_argument("--eval_tag", type=str, default=None)
     p.add_argument("--demo", action="store_true",
                    help="write the demo image grid and exit (draw_functor)")
@@ -56,6 +60,14 @@ def get_args():
 
 def main():
     args = get_args()
+    if "cpu" in (os.environ.get("JAX_PLATFORM_NAME", ""),
+                 os.environ.get("JAX_PLATFORMS", "")):
+        # honor a CPU request at CONFIG level before any backend use: with
+        # a TPU plugin installed the env vars only pick the default
+        # platform — the plugin still initializes, which blocks forever
+        # when its device tunnel is unreachable (CLAUDE.md env gotchas)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     # multi-host: join the jax.distributed cluster BEFORE any backend use
     # (env-driven; single-process runs are untouched).  The reference's
     # per-GPU mp.spawn + NCCL init (utils.py:304-309) becomes one JAX
@@ -127,6 +139,8 @@ def main():
         cfg["env"]["mesh_devices"] = len(args.gpu)
     if args.debug:
         cfg = apply_debug_shrink(cfg)
+    if args.ckpt is not None and args.pretrained is None:
+        args.pretrained = args.ckpt
     if args.pretrained is not None:
         cfg["eval"]["pretrained_pth"] = args.pretrained
     if args.eval_tag is not None:

@@ -100,6 +100,53 @@ def test_kill_and_resume_with_resume_path_only(tmp_path):
     assert "done." in p2.stdout + log
 
 
+def test_warm_start_experiment_plus_resume_path(tmp_path):
+    """--experiment + --resume_path warm-starts the NAMED experiment from
+    the given weights in a NEW run dir (main.py; the reconstruction path
+    needs --resume_path alone).  The snapshot is seeded in-process — the
+    CLI wiring is what's under test."""
+    import jax
+
+    from shgan_tpu.checkpoint.orbax_io import save_checkpoint
+    from shgan_tpu.models import get_model
+    from shgan_tpu.runtime.config import experiment_cfg_bank
+    from shgan_tpu.train import TrainConfig, init_train_state
+
+    cfg = experiment_cfg_bank()("smoke_train")
+    G, D = get_model(cfg["model_g"]), get_model(cfg["model_d"])
+    state = init_train_state(G, D, jax.random.key(7), TrainConfig())
+    snap = str(tmp_path / "seed" / "network-snapshot-000000")
+    save_checkpoint(snap, state)
+
+    env = _env(tmp_path)
+    p = subprocess.run([sys.executable, osp.join(REPO, "main.py"),
+                        "--experiment", "smoke_train",
+                        "--resume_path", snap],
+                       env=env, cwd=REPO, capture_output=True, text=True,
+                       timeout=900)
+    assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-3000:])
+    assert "resume weights" in p.stdout          # the warm-start banner
+    run_dirs = glob.glob(osp.join(str(tmp_path), "shgan_synthetic32", "*",
+                                  "train"))
+    assert len(run_dirs) == 1                    # a NEW run dir was minted
+    log = open(osp.join(run_dirs[0], "train.log")).read()
+    assert "resumed from" in log                 # weights actually loaded
+    assert "done." in p.stdout + log             # ran to total_kimg
+
+
+def test_resume_path_into_eval_experiment_fails_fast(tmp_path):
+    """--resume_path with an eval-only experiment is a config error, not a
+    20-minute compile then a crash (main.py)."""
+    env = _env(tmp_path)
+    p = subprocess.run([sys.executable, osp.join(REPO, "main.py"),
+                        "--experiment", "shgan_ffhq256_eval",
+                        "--resume_path", str(tmp_path / "nowhere")],
+                       env=env, cwd=REPO, capture_output=True, text=True,
+                       timeout=300)
+    assert p.returncode != 0
+    assert "no train section" in p.stdout + p.stderr
+
+
 def test_load_resume_run_snapshot_selection(tmp_path):
     """Unit: run-dir discovery from dir/weight/snapshot paths + itern
     selection (cfg_helper.py:320-328 --resume_itern)."""
