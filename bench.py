@@ -312,13 +312,21 @@ def main():
             and not os.environ.get("BENCH_BATCH")
             and os.environ.get("BENCH_SUBPROC", "1") == "1"):
         probe_s = float(os.environ.get("BENCH_CONNECT_TIMEOUT", "300"))
-        if not _probe_backend(probe_s):
+        tries = int(os.environ.get("BENCH_CONNECT_RETRIES", "3"))
+        for attempt in range(tries):
+            if _probe_backend(probe_s):
+                break
+            print(f"# backend probe {attempt + 1}/{tries} failed "
+                  f"({probe_s:.0f}s)", file=sys.stderr)
+            if attempt + 1 < tries:
+                time.sleep(120)  # transient tunnel outages do recover
+        else:
             print(json.dumps({
                 "metric": "512x512 inpainted images/sec/chip",
                 "value": 0.0, "unit": "img/s/chip", "vs_baseline": None,
                 "detail": {"error": "backend unreachable: jax.devices() "
                            f"did not return within {probe_s:.0f}s "
-                           "(device tunnel down?)"}}))
+                           f"x{tries} attempts (device tunnel down?)"}}))
             return
         # isolate each candidate size in its own process so a device OOM
         # can't poison the remaining batches
