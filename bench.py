@@ -203,7 +203,16 @@ def run_e2e(res, bs, bf16, n_batches=10):
         cfg_g["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg_g["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
     n_images = bs * n_batches
-    det_params = random_inception_params(jax.random.key(0))
+    # build the detector params on the HOST cpu backend: running any
+    # accelerator executable first would trip the 40-70x transfer
+    # degradation for the big uploads eval_stage does next (params +
+    # device image bank — CLAUDE.md env gotchas)
+    try:
+        _cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(_cpu):
+            det_params = random_inception_params(jax.random.key(0))
+    except RuntimeError:
+        det_params = random_inception_params(jax.random.key(0))
     with tempfile.TemporaryDirectory() as log_dir:
         cfg = {
             "env": {"rnd_seed": 0},

@@ -117,6 +117,15 @@ class EvalPipeline:
                 raise ValueError(
                     f"dataset {type(dataset).__name__} has no image_bank()"
                     " — device_image_bank unsupported")
+            if getattr(formatter, "random_flip", False):
+                # bank mode serves the uploaded image row and DISCARDS the
+                # formatter's image output — a flipping formatter would
+                # silently evaluate unflipped images (the published eval
+                # protocol is no-flip, configs/dataset/*: random_flip false)
+                raise ValueError(
+                    "device_image_bank requires a flip-free formatter "
+                    "(set formatter.args.random_flip: false or disable "
+                    "device_image_bank)")
             bank_np, bank_map = dataset.image_bank()
             from ..parallel import replicated
             sharding = replicated(mesh) if mesh is not None else None

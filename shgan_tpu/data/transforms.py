@@ -50,7 +50,13 @@ def wrap_formatter(formatter, transforms_cfg):
     if not transforms_cfg:
         return formatter
     t = get_transforms(transforms_cfg)
-    return lambda el: formatter(t(el))
+
+    def wrapped(el):
+        return formatter(t(el))
+    # surface the formatter's pixel-altering knobs through the wrapper
+    # (device_image_bank validation reads random_flip)
+    wrapped.random_flip = getattr(formatter, "random_flip", False)
+    return wrapped
 
 
 def _to_pil(img_chw01):

@@ -134,7 +134,8 @@ class PPLEvaluator(BaseEvaluator):
                 # then NOT comparable to the reference's vgg16 protocol
                 try:
                     self.lpips_params = resolve_lpips_params(
-                        "alex", alexnet_weights=alexnet_weights)
+                        "alex", alexnet_weights=alexnet_weights,
+                        lin_weights=lin_weights)
                 except FileNotFoundError:
                     raise e from None
                 self.net = net = "alex"

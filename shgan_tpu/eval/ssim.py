@@ -63,6 +63,11 @@ def compute_ssim(img1, img2, window_size=11):
 
 @register_evaluator("ssim")
 class SSIMEvaluator(BaseEvaluator):
+    # reads pred_dev/gt_dev when present (compute_ssim rescales uint8
+    # device views inside the jit) — a compose containing SSIM must not
+    # re-enable the per-batch full-image device→host readback
+    consumes_host_pixels = False
+
     def __init__(self, window_size=11):
         super().__init__()
         self.window_size = window_size

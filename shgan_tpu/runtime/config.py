@@ -244,6 +244,11 @@ def load_resume_run(resume_path, resume_itern=None):
     if cfg.get("train") is None:
         raise ValueError(f"{run_dir}/config.yaml has no train section — "
                          "not a training run")
+    # resume into the run dir the user POINTED AT, not the absolute
+    # log_dir recorded at launch — a moved/copied run (or a different
+    # SHGAN_LOG_ROOT) would otherwise silently recreate and write to the
+    # stale original path
+    cfg["train"]["log_dir"] = run_dir
 
     weight_dir = osp.join(run_dir, "weight")
     if resume_itern is not None:

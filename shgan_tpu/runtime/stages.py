@@ -326,8 +326,14 @@ class eval_stage:
         # otherwise cost two accelerator round-trips per batch (the
         # tunnel RTT is material on remoted TPUs).
         from ..parallel import local_batch_to_global
-        _cpu = jax.local_devices(backend="cpu")[0]
-        with jax.default_device(_cpu):
+        try:
+            _cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(_cpu):
+                key = jax.random.key(seed)
+        except RuntimeError:
+            # jax_platforms restricted to the accelerator alone (some jax
+            # versions then don't register a cpu backend) — fall back to
+            # the default device; two extra RTTs per batch, still correct
             key = jax.random.key(seed)
         log_display = cfgv.get("log_display", 10)
         # when every configured metric reads its device view (FID/KID/PR/
@@ -540,8 +546,14 @@ class train_stage:
             from ..parallel import check_replicated
             check_replicated(state["params_g"])
             check_replicated(state["params_d"])
-            cur_nimg = (cfgt.get("resume_itern") or int(state["step"])) \
-                * batch_size
+            # resume_itern is in KIMG (it names the network-snapshot-*
+            # picked by load_resume_run, reference --resume_itern
+            # semantics); without it, progress comes from the restored
+            # step counter
+            if cfgt.get("resume_itern") is not None:
+                cur_nimg = int(cfgt["resume_itern"]) * 1000
+            else:
+                cur_nimg = int(state["step"]) * batch_size
             tick_start = cur_nimg
             print_log(f"resumed from {resume_path} at {cur_nimg/1e3:.1f} "
                       "kimg")

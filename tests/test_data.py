@@ -201,6 +201,39 @@ def test_datashard_epoch_changes_masks():
     np.testing.assert_array_equal(a[1], c[1])
 
 
+def test_device_image_bank_rejects_flipping_formatter():
+    """Bank mode discards the formatter's image output, so a flipping
+    formatter must be rejected up front (data/pipeline.py) — including
+    when wrapped by a transforms pipeline (wrap_formatter propagates
+    random_flip)."""
+    import pytest
+    from shgan_tpu.data.datasets import get_dataset
+    from shgan_tpu.data.formatters import get_formatter
+    from shgan_tpu.data.pipeline import EvalPipeline
+    from shgan_tpu.data.transforms import wrap_formatter
+
+    ds = get_dataset({"type": "synthetic",
+                      "args": {"length": 4, "resolution": 16,
+                               "as_u8": True, "pool": 2}})
+    flip = get_formatter({"type": "RandomMaskFormatter",
+                          "args": {"mask_resolution": 16,
+                                   "random_flip": True}})
+    with pytest.raises(ValueError, match="flip-free"):
+        EvalPipeline(ds, flip, batch_size=2, device_image_bank=True)
+
+    wrapped = wrap_formatter(flip, [{"type": "Resize",
+                                     "args": {"resolution": 16}}])
+    assert wrapped.random_flip is True
+    with pytest.raises(ValueError, match="flip-free"):
+        EvalPipeline(ds, wrapped, batch_size=2, device_image_bank=True)
+
+    noflip = get_formatter({"type": "RandomMaskFormatter",
+                            "args": {"mask_resolution": 16,
+                                     "random_flip": False}})
+    pipe = EvalPipeline(ds, noflip, batch_size=2, device_image_bank=True)
+    assert pipe.device_bank is not None
+
+
 def test_dataset_pick_estimators():
     """pick (PickFileEstimator, ds_estimator.py:42-65), pick_repeat, and
     pick_index (PickIndexEstimator, ds_estimator.py:67-85)."""

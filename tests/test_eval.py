@@ -82,6 +82,28 @@ def test_psnr_valid_mask():
     assert a == pytest.approx(ev2.compute(), rel=1e-9)
 
 
+def test_ssim_device_fed_u8_matches_host():
+    """SSIM is fully device-fed (consumes_host_pixels=False): uint8 0..255
+    device views must give the same value as host [0,1] floats — a compose
+    with SSIM must not re-enable the full-image device→host readback
+    (eval/ssim.py)."""
+    import jax.numpy as jnp
+    from shgan_tpu.eval.ssim import SSIMEvaluator
+
+    assert SSIMEvaluator.consumes_host_pixels is False
+    rng = np.random.RandomState(3)
+    pred_u8 = rng.randint(0, 256, (4, 3, 32, 32), dtype=np.uint8)
+    gt_u8 = rng.randint(0, 256, (4, 3, 32, 32), dtype=np.uint8)
+
+    ev_host = SSIMEvaluator()
+    ev_host.add_batch(pred=pred_u8.astype(np.float32) / 255.0,
+                      gt=gt_u8.astype(np.float32) / 255.0)
+    ev_dev = SSIMEvaluator()
+    ev_dev.add_batch(pred=None, gt=None,
+                     pred_dev=jnp.asarray(pred_u8), gt_dev=jnp.asarray(gt_u8))
+    assert ev_dev.compute() == pytest.approx(ev_host.compute(), abs=1e-6)
+
+
 def test_drain_skips_zero_row_and_host_chunks():
     """drain() fences the last DEVICE chunk; zero-row chunks (fully-padded
     batches → _apply_valid leaves 0 rows) and host numpy chunks (which on
