@@ -53,9 +53,13 @@ def wrap_formatter(formatter, transforms_cfg):
 
     def wrapped(el):
         return formatter(t(el))
-    # surface the formatter's pixel-altering knobs through the wrapper
-    # (device_image_bank validation reads random_flip)
-    wrapped.random_flip = getattr(formatter, "random_flip", False)
+    # surface the pixel-altering knobs through the wrapper
+    # (device_image_bank validation reads random_flip): the formatter's
+    # flag OR a RandomFlip entry in the transforms pipeline
+    wrapped.random_flip = (
+        getattr(formatter, "random_flip", False)
+        or any((c.get("type") if isinstance(c, dict) else c) == "RandomFlip"
+               for c in transforms_cfg))
     return wrapped
 
 

@@ -51,6 +51,10 @@ class BaseEvaluator:
     # real_dev/pred_dev/gt_dev) — when every composed metric is device-fed,
     # the eval stage skips the full-image device→host readback
     consumes_host_pixels = True
+    # True on metrics that read the device views — when NO composed metric
+    # does, the eval stage skips building them (with f32 transport the
+    # views are four full-image f32 device copies per batch)
+    consumes_device_views = False
 
     def __init__(self):
         self.final = {}
@@ -172,6 +176,11 @@ class ComposeEvaluator:
     @property
     def consumes_host_pixels(self):
         return any(getattr(e, "consumes_host_pixels", True)
+                   for e in self.evaluators)
+
+    @property
+    def consumes_device_views(self):
+        return any(getattr(e, "consumes_device_views", False)
                    for e in self.evaluators)
 
     def run_generator_metrics(self, G, params, seed=0):

@@ -33,6 +33,7 @@ class FeatureBankEvaluator(BaseEvaluator):
     # reads fake_dev/real_dev when present — no host pixels needed
     # (the eval stage then skips the per-batch image readback)
     consumes_host_pixels = False
+    consumes_device_views = True
 
     def __init__(self, device=None, sample_real_n=None, sample_fake_n=None,
                  dsstat_cachefile_tag=None, detector_weights=None,
@@ -127,7 +128,10 @@ class FeatureBankEvaluator(BaseEvaluator):
                 real_feat = _bank(self.data_real_feat)[:sample_real_n]
                 if self.dsstat_cache_file is not None:
                     from ..parallel import is_lead
-                    if is_lead():  # writer-process convention
+                    # writer-process convention; skip if a sibling in the
+                    # same compose (shared tag: fid+kid+pr) already wrote
+                    # the identical bank this run
+                    if is_lead() and not osp.isfile(self.dsstat_cache_file):
                         os.makedirs(osp.dirname(self.dsstat_cache_file),
                                     exist_ok=True)
                         np.save(self.dsstat_cache_file, real_feat)

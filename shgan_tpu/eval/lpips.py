@@ -230,6 +230,7 @@ def random_vgg16_lpips_params(key):
 class LPIPSEvaluator(BaseEvaluator):
     # reads pred_dev/gt_dev when present — device-fed, no host pixels
     consumes_host_pixels = False
+    consumes_device_views = True
 
     def __init__(self, net="alex", alexnet_weights=None, lin_weights=None,
                  params=None, vgg16_weights=None, **_):

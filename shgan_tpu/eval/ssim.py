@@ -67,6 +67,7 @@ class SSIMEvaluator(BaseEvaluator):
     # device views inside the jit) — a compose containing SSIM must not
     # re-enable the per-batch full-image device→host readback
     consumes_host_pixels = False
+    consumes_device_views = True
 
     def __init__(self, window_size=11):
         super().__init__()

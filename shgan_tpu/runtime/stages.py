@@ -328,12 +328,18 @@ class eval_stage:
         from ..parallel import local_batch_to_global
         try:
             _cpu = jax.local_devices(backend="cpu")[0]
-            with jax.default_device(_cpu):
-                key = jax.random.key(seed)
         except RuntimeError:
             # jax_platforms restricted to the accelerator alone (some jax
             # versions then don't register a cpu backend) — fall back to
             # the default device; two extra RTTs per batch, still correct
+            _cpu = None
+
+        def _on_cpu():
+            import contextlib
+            return (jax.default_device(_cpu) if _cpu is not None
+                    else contextlib.nullcontext())
+
+        with _on_cpu():
             key = jax.random.key(seed)
         log_display = cfgv.get("log_display", 10)
         # when every configured metric reads its device view (FID/KID/PR/
@@ -344,6 +350,10 @@ class eval_stage:
         # output (eval/feature_metrics.py add_batch), so the multi-host
         # eval path now runs the same device-fed code as single-host
         needs_np = getattr(evaluator, "consumes_host_pixels", True)
+        # and symmetrically: build the device views only when some metric
+        # reads them (with f32 transport they are four full-image f32
+        # device copies per batch — ~1.5 GB at 512²/bs=120)
+        needs_dev = getattr(evaluator, "consumes_device_views", True)
         batch_s = []
         phase_log = os.environ.get("SHGAN_EVAL_TIMING") == "1"
         t0 = timeit.default_timer()
@@ -356,7 +366,7 @@ class eval_stage:
             except StopIteration:
                 break
             t_b = timeit.default_timer()
-            with jax.default_device(_cpu):
+            with _on_cpu():
                 key, kn = jax.random.split(key)
             (z,) = local_batch_to_global((local_z(idx),), mesh)
             if bank is not None:
@@ -364,13 +374,16 @@ class eval_stage:
             fake = run_generator(params, real, mask, z,
                                  np.asarray(jax.random.key_data(kn)))
             if phase_log:
-                jax.block_until_ready(fake)
+                # scalar-readback fence: block_until_ready alone is not a
+                # reliable fence on tunneled backends (CLAUDE.md) — the
+                # gen/metrics split would misattribute the bottleneck
+                np.asarray(fake[(0,) * fake.ndim])
             t_c = timeit.default_timer()
             # hand the evaluators device views so the Inception/LPIPS
             # forwards skip the host round trip (multi-host included:
             # the jits consume the global sharded arrays and evaluators
             # keep local feature rows — see eval/feature_metrics.py)
-            dev = dev_views(fake, real)
+            dev = dev_views(fake, real) if needs_dev else {}
             if needs_np:
                 # local_rows: this process's block of the global batch —
                 # the same rows its DataShard formatted (valid/uids too)
@@ -454,8 +467,14 @@ class eval_stage:
         t0 = timeit.default_timer()
         n = len(dataset)
         n_batches = -(-n // batch_size)
+        # multi-process: contiguous block of batches per process (order-
+        # preserving under the evaluator allgather), lead-only save below
+        pid, pcount = jax.process_index(), jax.process_count()
+        per = -(-n_batches // pcount)
+        my_batches = list(range(pid * per, min((pid + 1) * per, n_batches)))
 
-        def make_batch(b):
+        def make_batch(j):
+            b = my_batches[j]
             els = [dataset[i] for i in range(b * batch_size,
                                              min((b + 1) * batch_size, n))]
             real = np.stack([e["image"] for e in els])       # [N,3,H,W] 0-1
@@ -463,7 +482,8 @@ class eval_stage:
             uids = [e["unique_id"] for e in els]
             return real, gen, uids
 
-        pf = _Prefetcher(make_batch, n_batches, num_threads=num_threads)
+        pf = _Prefetcher(make_batch, len(my_batches),
+                         num_threads=num_threads)
         for idx, (real, gen, uids) in enumerate(pf):
             evaluator.add_batch(
                 pred=gen, gt=real,
@@ -473,10 +493,14 @@ class eval_stage:
                 print_log("processed.. {}, Time:{:.2f}s".format(
                     idx + 1, timeit.default_timer() - t0))
                 t0 = timeit.default_timer()
+        if pcount > 1:
+            evaluator.sync_across_processes()
         evaluator.set_sample_n(n)
         rv = evaluator.compute()
-        evaluator.one_line_summary()
-        evaluator.save(log_dir)
+        if is_lead():
+            evaluator.one_line_summary()
+            evaluator.save(log_dir)  # result.json read-modify-write:
+            # concurrent multi-process writes would drop merged keys
         evaluator.clear_data()
         return rv
 
@@ -573,7 +597,14 @@ class train_stage:
         if eval_every and cfg.get("eval"):
             nested_eval = self._make_nested_eval(cfg, cfge, G, mesh)
         best_metric = None
-        next_eval = eval_every * 1000 if eval_every else None
+        # rebase past the resumed progress: the next multiple of the eval
+        # interval STRICTLY above cur_nimg (otherwise a resume at N kimg
+        # would run a full nested eval on every tick until the counter
+        # caught up)
+        next_eval = None
+        if eval_every:
+            step_n = eval_every * 1000
+            next_eval = (cur_nimg // step_n + 1) * step_n
 
         key = jax.random.key(seed + 1)
         it = iter(pipe)
@@ -619,7 +650,11 @@ class train_stage:
                 tick_start = cur_nimg
                 cur_tick += 1
                 if nested_eval is not None and cur_nimg >= next_eval:
-                    next_eval += eval_every * 1000
+                    # jump to the next interval ABOVE the current counter
+                    # (a big tick may cross several intervals — run one
+                    # eval, not one per crossed interval)
+                    next_eval = (cur_nimg // (eval_every * 1000) + 1) \
+                        * (eval_every * 1000)
                     name, value, higher_better = nested_eval(
                         state["params_gema"])
                     logger.accumulate({f"eval_{name}": value})
@@ -672,8 +707,18 @@ class train_stage:
             cfgv.get("batch_size_per_gpu", 4) * mesh.devices.size)
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh)
         metric = cfgv.get("nested_eval_metric", "psnr")
-        higher_better = metric in ("psnr", "ssim", "is", "precision",
-                                   "recall")
+        # weight-free per-batch scalar metrics only (the docstring's
+        # contract): detector-backed metrics ('is', 'pr', fid…) need
+        # assets and return dicts — fail at build time, not at the first
+        # eval tick after a multi-minute compile
+        supported = ("psnr", "ssim")
+        if metric not in supported:
+            raise ValueError(
+                f"nested_eval_metric [{metric}] unsupported — the in-train"
+                f" nested eval runs weight-free per-batch metrics only "
+                f"{supported}; run the full evaluator compose via the eval"
+                " stage instead")
+        higher_better = True  # psnr and ssim are both higher-better
         seed = cfge.get("rnd_seed", 0) or 0
 
         @jax.jit
