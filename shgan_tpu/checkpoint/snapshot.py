@@ -113,7 +113,17 @@ def _storage_from_bytes(blob):
     arrays = {}
     for key in keys:
         (numel,) = struct.unpack("<q", f.read(8))
-        dt = spec["dtype"] if str(key) == spec["key"] else np.dtype(np.uint8)
+        if str(key) != spec["key"]:
+            # the itemsize of a foreign key is unknown (only the target's
+            # dtype was declared via persistent_load) — guessing would
+            # misalign the stream and silently corrupt every later key.
+            # Tensor.__reduce_ex__ emits single-storage blobs; refuse the
+            # rest rather than guess.
+            raise pickle.UnpicklingError(
+                f"legacy storage stream carries unexpected key {key!r} "
+                f"(expected only {spec['key']!r}) — cannot size its "
+                "payload safely")
+        dt = spec["dtype"]
         arrays[str(key)] = np.frombuffer(
             f.read(numel * dt.itemsize), dtype=dt, count=numel)
     return arrays[spec["key"]]

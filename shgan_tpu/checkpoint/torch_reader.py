@@ -58,13 +58,31 @@ class _StorageType:
 def _rebuild_tensor_v2(storage, storage_offset, size, stride,
                        requires_grad=False, backward_hooks=None,
                        metadata=None):
+    # size/stride/offset come from the UNTRUSTED pickle: bound-check them
+    # before as_strided, which would otherwise view (and
+    # ascontiguousarray would copy) arbitrary process memory
+    size, stride = tuple(int(s) for s in size), tuple(int(s) for s in stride)
+    if (storage_offset < 0 or storage_offset > storage.size
+            or len(size) != len(stride)
+            or any(s < 0 for s in size) or any(s < 0 for s in stride)):
+        raise ValueError(f"tensor header out of bounds: offset="
+                         f"{storage_offset} size={size} stride={stride} "
+                         f"storage numel={storage.size}")
     flat = storage[storage_offset:]
     itemsize = flat.dtype.itemsize
     if len(size) == 0:
+        if flat.size < 1:
+            raise ValueError("scalar tensor beyond end of storage")
         return flat[:1].reshape(())
+    if 0 not in size:
+        last = sum((s - 1) * st for s, st in zip(size, stride))
+        if last >= flat.size:
+            raise ValueError(
+                f"tensor extent {last + 1} exceeds storage remainder "
+                f"{flat.size} (offset={storage_offset} size={size} "
+                f"stride={stride})")
     arr = np.lib.stride_tricks.as_strided(
-        flat, shape=tuple(size),
-        strides=tuple(s * itemsize for s in stride))
+        flat, shape=size, strides=tuple(s * itemsize for s in stride))
     return np.ascontiguousarray(arr)
 
 

@@ -88,6 +88,11 @@ class InceptionDetector:
 
     def features_and_probs(self, x):
         """→ ([N, 2048] features, [N, 1008] softmax probs), device f32."""
+        if not self.has_probs:
+            raise ValueError(
+                "detector weights carry no classifier head ('fc') — IS "
+                "needs the 1008-way pt_inception head; provide the full "
+                "pytorch-fid pt_inception .pth (docs/ASSETS.md)")
         i = self._find(x)
         if i is not None:
             ref, is_weak, feat, probs = self._memo[i]
@@ -100,19 +105,31 @@ class InceptionDetector:
 
 
 _BY_PATH = {}
+# injected param trees key by id(): compose members (fid+kid+pr+is) pass
+# the SAME tree and must share one detector (that sharing is what makes a
+# compose cost a single Inception pass per batch).  Bounded: successive
+# distinct trees (long test sessions, notebooks) must not each pin a
+# ~100 MB param tree + jit caches for the life of the process.
+_BY_ID = {}
+_BY_ID_MAX = 2
 
 
 def get_detector(detector_weights=None, detector_params=None):
-    """Resolve (and cache per weights file) the shared detector.
+    """Resolve (and cache) the shared detector.
 
-    Priority: explicit ``detector_params`` (fresh instance — test
-    injection), then ``detector_weights`` path, then ``SHGAN_TPU_INCEPTION``.
+    Priority: explicit ``detector_params`` (shared per injected tree,
+    small LRU — compose members reuse one instance), then
+    ``detector_weights`` path, then ``SHGAN_TPU_INCEPTION``.
     """
     if detector_params is not None:
         key = id(detector_params)
-        if key not in _BY_PATH:
-            _BY_PATH[key] = InceptionDetector(detector_params)
-        return _BY_PATH[key]
+        if key not in _BY_ID:
+            _BY_ID[key] = InceptionDetector(detector_params)
+            while len(_BY_ID) > _BY_ID_MAX:
+                # evict oldest; the cached detector holds its params, so
+                # live ids can't be recycled onto stale entries
+                _BY_ID.pop(next(iter(_BY_ID)))
+        return _BY_ID[key]
     path = detector_weights or os.environ.get("SHGAN_TPU_INCEPTION")
     if not (path and osp.isfile(path)):
         raise FileNotFoundError(

@@ -52,14 +52,12 @@ def _maxpool(x, k=3, s=2, pad=0):
 def _avgpool_exc(x, k=3, s=1, pad=1):
     """3×3 average pooling, count_include_pad=False (the FID-variant patch
     to torchvision's InceptionA/C/E blocks)."""
-    ones = jnp.ones_like(x[:1, :1])
     summed = lax.reduce_window(
         x, 0.0, lax.add, (1, 1, k, k), (1, 1, s, s),
         [(0, 0), (0, 0), (pad, pad), (pad, pad)])
     count = lax.reduce_window(
         jnp.ones(x.shape[2:], x.dtype), 0.0, lax.add, (k, k), (s, s),
         [(pad, pad), (pad, pad)])
-    del ones
     return summed / count[None, None]
 
 
@@ -156,12 +154,23 @@ _MIXED = [
 ]
 
 
+def _resize_299(x):
+    """Bilinear resize to the detector's 299² input, antialias=False: the
+    reference detector downsamples with a plain (non-antialiased) bilinear
+    F.interpolate (pytorch-fid pt_inception).  jax's default
+    antialias=True diverges by >130 intensity units per pixel for
+    512²→299 inputs (measured r3; upsampled ≤299 inputs are unaffected,
+    which is why 256² fixtures never catch it) — production-resolution
+    FID would not be reference-comparable."""
+    return jax.image.resize(x, (x.shape[0], 3, 299, 299),
+                            method="bilinear", antialias=False)
+
+
 def inception_features(params, x_uint8):
     """uint8-valued [N, 3, H, W] (0..255, float or uint8) → [N, 2048]
     pool features, matching the reference detector's input contract
     (`eva_fid.py:206-212`: composited uint8 images)."""
-    x = x_uint8.astype(jnp.float32)
-    x = jax.image.resize(x, (x.shape[0], 3, 299, 299), method="bilinear")
+    x = _resize_299(x_uint8.astype(jnp.float32))
     x = x / 127.5 - 1.0
     for name, kw in _STEM:
         if kw is None:

@@ -53,13 +53,16 @@ def _as_model_input(images, masks):
         raise ValueError(f"images must be 4D, got {images.shape}")
     if images.shape[-1] == 3 and images.shape[1] != 3:
         images = images.transpose(0, 3, 1, 2)
-    if images.dtype == np.uint8:
-        images = images.astype(np.float32) / 127.5 - 1.0
-    else:
+    if images.dtype != np.uint8:
+        # uint8 passes through UNCHANGED: composite_forward normalizes on
+        # device (models/infer.py u8 transport — 4× fewer host→device
+        # bytes, bit-identical for uint8 sources; the link is the
+        # serving path's main per-batch cost)
         images = images.astype(np.float32)
     if masks.ndim == 3:
         masks = masks[:, None]
-    masks = masks.astype(np.float32)
+    if masks.dtype != np.float32:
+        masks = masks.astype(np.uint8)  # {0,1}; device casts to f32
     if images.shape[0] != masks.shape[0]:
         raise ValueError("images/masks batch mismatch")
     return images, masks
@@ -159,6 +162,8 @@ class InpaintEngine:
         """
         real, mask = _as_model_input(images, masks)
         n, bs = real.shape[0], self.batch_size
+        if n == 0:  # an endpoint forwarding an empty request gets an
+            return np.zeros(real.shape, np.uint8)  # empty reply, not a crash
         outs = []
         for lo in range(0, n, bs):
             chunk_r = real[lo:lo + bs]

@@ -55,6 +55,22 @@ def nan_scrub():
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
 
 
+def freeze_buffers():
+    """optax transform zeroing updates for buffer leaves (noise_const,
+    w_avg): their grads are zero, but param-coupled transforms like
+    optax.add_decayed_weights emit updates proportional to the PARAM for
+    every leaf — without this, a custom optimizer with weight_decay would
+    shrink the noise buffers toward zero each step."""
+
+    def update(updates, state, params=None):
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, u: jnp.zeros_like(u) if _is_buffer(path) else u,
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
 def make_optimizer(lr=0.002, betas=(0.0, 0.99), eps=1e-8, reg_interval=None,
                    optimizer=None, schedule=None):
     """Adam with lazy-regularization hyperparameter scaling
@@ -80,11 +96,16 @@ def make_optimizer(lr=0.002, betas=(0.0, 0.99), eps=1e-8, reg_interval=None,
         lr_fn = lr * mb_ratio
     if optimizer is not None:
         from .schedules import get_optimizer
-        return optax.chain(nan_scrub(), get_optimizer(optimizer, lr_fn))
+        # freeze_buffers LAST: param-coupled transforms (weight_decay)
+        # emit nonzero updates for zero-grad leaves, which would corrupt
+        # noise_const/w_avg (default Adam only spares them by accident)
+        return optax.chain(nan_scrub(), get_optimizer(optimizer, lr_fn),
+                           freeze_buffers())
     return optax.chain(
         nan_scrub(),
         optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
         optax.scale_by_learning_rate(lr_fn),
+        freeze_buffers(),
     )
 
 
@@ -192,31 +213,40 @@ def make_train_step(G, D, cfg: TrainConfig):
             (_, (g_aux, new_pl_mean, pl_len, g_main)), g_grads = g_vgrad(
                 state["params_g"], x_in, mask, keys, state["pl_mean"])
         else:
-            # sequential micro-batch rounds, grads averaged; pl_mean chains
-            # through the rounds like the reference's per-round buffer
+            # sequential micro-batch rounds, grads averaged; pl_mean AND
+            # w_avg chain through the rounds like the reference's in-place
+            # buffers.  Every round's aux w_avg is computed from the same
+            # STALE pre-step w0 (params are fixed across rounds), so the
+            # chained lerp is exactly aux_r + beta*(w_carry - w0):
+            # lerp(m_r, w) = m_r + beta*(w - m_r)
+            #             = [m_r + beta*(w0 - m_r)] + beta*(w - w0)
+            has_wa = "w_avg" in state["params_g"]["mapping"]
+            beta = getattr(G.mapping, "w_avg_beta", None)
+            w0 = (state["params_g"]["mapping"]["w_avg"] if has_wa
+                  else jnp.zeros((0,)))
+
             def g_round(carry, inp):
-                gacc, pl_mean = carry
+                gacc, pl_mean, wa = carry
                 x_mb, m_mb, keys = inp
                 (_, (aux, pl_mean, pl_len, main)), grads = g_vgrad(
                     state["params_g"], x_mb, m_mb, keys, pl_mean)
                 gacc = jax.tree.map(jnp.add, gacc, grads)
-                # scan ys can't carry None — empty-array sentinel instead
-                wa = (aux["w_avg"] if aux["w_avg"] is not None
-                      else jnp.zeros((0,)))
-                return (gacc, pl_mean), (aux["scores_fake"], pl_len, main,
-                                         wa)
+                if aux["w_avg"] is not None and has_wa:
+                    wa = aux["w_avg"] + beta * (wa - w0)
+                return (gacc, pl_mean, wa), (aux["scores_fake"], pl_len,
+                                             main)
 
             split = lambda t: t.reshape((A, nm) + t.shape[1:])
             keys = tuple(jax.random.split(k, A)
                          for k in (k_z1, k_z2, k_g, k_gpl))
             gacc0 = jax.tree.map(jnp.zeros_like, state["params_g"])
-            (gacc, new_pl_mean), (sf, pl_lens, mains, w_avgs) = lax.scan(
-                g_round, (gacc0, state["pl_mean"]),
+            (gacc, new_pl_mean, wa), (sf, pl_lens, mains) = lax.scan(
+                g_round, (gacc0, state["pl_mean"], w0),
                 (split(x_in), split(mask), keys))
             g_grads = jax.tree.map(lambda t: t / A, gacc)
             g_aux = {"scores_fake": sf.mean(),
-                     "w_avg": (None if w_avgs.shape[-1] == 0
-                               else w_avgs[-1])}
+                     "w_avg": (wa if has_wa and beta is not None
+                               else None)}
             pl_len = pl_lens.mean()
             g_main = mains.mean()
         g_updates, new_opt_g = g_tx.update(g_grads, state["opt_g"],

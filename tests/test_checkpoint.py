@@ -39,6 +39,28 @@ def test_pth_reader_noncontiguous_tensor(tmp_path):
     np.testing.assert_array_equal(loaded["w"], t.numpy())
 
 
+def test_rebuild_tensor_rejects_out_of_bounds_headers():
+    """size/stride/offset come from the untrusted pickle: a header
+    addressing past the storage must be refused, not fed to as_strided
+    (which would view arbitrary process memory — torch_reader.py)."""
+    from shgan_tpu.checkpoint.torch_reader import _rebuild_tensor_v2
+
+    flat = np.arange(10, dtype=np.float32)
+    with pytest.raises(ValueError):
+        _rebuild_tensor_v2(flat, 0, (4, 4), (4, 1))      # needs 16 > 10
+    with pytest.raises(ValueError):
+        _rebuild_tensor_v2(flat, 0, (2,), (2 ** 40,))    # huge stride
+    with pytest.raises(ValueError):
+        _rebuild_tensor_v2(flat, 0, (2, 2), (-2, 1))     # negative stride
+    with pytest.raises(ValueError):
+        _rebuild_tensor_v2(flat, 11, (), ())             # offset past end
+    # legitimate strided views still rebuild
+    ok = _rebuild_tensor_v2(flat, 2, (2, 2), (2, 1))
+    np.testing.assert_array_equal(ok, [[2, 3], [4, 5]])
+    # zero-size dims are fine regardless of stride
+    assert _rebuild_tensor_v2(flat, 0, (0, 4), (100, 1)).size == 0
+
+
 def test_pth_reader_rejects_arbitrary_globals(tmp_path):
     """The reader must refuse to unpickle non-tensor classes."""
     import pickle

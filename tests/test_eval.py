@@ -82,6 +82,26 @@ def test_psnr_valid_mask():
     assert a == pytest.approx(ev2.compute(), rel=1e-9)
 
 
+def test_inception_resize_matches_torch_downsample():
+    """The detector's 299² resize must match the reference's plain
+    (non-antialiased) bilinear F.interpolate for DOWNsampled inputs —
+    jax's antialias default diverges by >130 u8 units at 512²→299
+    (measured r3), which would make production-resolution FID
+    non-comparable (eval/inception.py _resize_299).  Upsampling (≤299
+    inputs, e.g. the 256² fixtures) can't catch this."""
+    import torch
+    import torch.nn.functional as F
+    from shgan_tpu.eval.inception import _resize_299
+
+    rng = np.random.RandomState(0)
+    for res in (512, 192):
+        x = rng.rand(2, 3, res, res).astype(np.float32) * 255
+        want = F.interpolate(torch.from_numpy(x), size=(299, 299),
+                             mode="bilinear", align_corners=False).numpy()
+        got = np.asarray(_resize_299(x))
+        assert np.abs(got - want).max() < 1e-3, res
+
+
 def test_ssim_device_fed_u8_matches_host():
     """SSIM is fully device-fed (consumes_host_pixels=False): uint8 0..255
     device views must give the same value as host [0,1] floats — a compose

@@ -58,3 +58,31 @@ def test_grad_accum_runs_and_is_finite(models):
         init_train_state(G, D, jax.random.key(0),
                          TrainConfig())["params_g"])[0])
     assert not np.allclose(w1, w0) and not np.allclose(w4, w0)
+
+
+def test_grad_accum_chains_w_avg(models):
+    """A accumulation rounds apply A CHAINED w_avg lerps (the reference's
+    in-place buffer), not just the last round's update from the stale
+    pre-step value (train/step.py g_round).  With beta=0.995 and w0=0,
+    one lerp leaves |w_avg| ≈ 0.005|m|; A=4 chained ≈ 4× that."""
+    G, D = models
+    rng = np.random.RandomState(1)
+    real = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    mask = jnp.asarray((rng.rand(8, 1, 32, 32) > 0.5).astype(np.float32))
+    key = jax.random.key(3)
+
+    beta = G.mapping.w_avg_beta
+    s1, _ = _run(G, D, 1, (real, mask), key)
+    s4, _ = _run(G, D, 4, (real, mask), key)
+    w0 = np.asarray(init_train_state(
+        G, D, jax.random.key(0), TrainConfig())
+        ["params_g"]["mapping"]["w_avg"])
+    d1 = np.abs(np.asarray(s1["params_g"]["mapping"]["w_avg"]) - w0).mean()
+    d4 = np.abs(np.asarray(s4["params_g"]["mapping"]["w_avg"]) - w0).mean()
+    assert d1 > 0 and d4 > 0
+    # chained lerps move ~A× further than a single one (micro-batch means
+    # differ, so allow a wide band; the broken last-round-only behavior
+    # gives d4 ≈ d1)
+    ratio = d4 / d1
+    lo = (1 - beta ** 4) / (1 - beta) * 0.5   # ≈ 2.0
+    assert ratio > lo, (ratio, d1, d4)

@@ -84,7 +84,12 @@ def test_nhwc_and_float_inputs(engine):
     np.testing.assert_array_equal(a, b)
     f = imgs.astype(np.float32) / 127.5 - 1.0
     c = engine.inpaint(f, masks)
-    np.testing.assert_array_equal(a, c)
+    # uint8 inputs ride the u8 transport (normalize on device, 4× fewer
+    # host→device bytes) and therefore compile a DIFFERENT executable
+    # than float inputs; XLA fusion reassociation can shift isolated
+    # pixels by ±1 after uint8 quantization — same tolerance class as the
+    # eval stage's u8 transport
+    assert np.abs(a.astype(np.int16) - c.astype(np.int16)).max() <= 1
 
 
 def test_stream_matches_batch(engine):
