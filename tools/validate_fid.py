@@ -178,7 +178,7 @@ def _weights_sha(path, nbytes=1 << 20):
     return h.hexdigest()
 
 
-def emit_fixture(path=None, n=4, res=(299, 256)):
+def emit_fixture(path=None, n=4, res=(299, 256, 512)):
     """Write the golden detector fixture: fixed inputs (regenerable via
     :func:`fixed_batch`) → reference-oracle features (+probs), pinned to
     the weights file hash.  Run ONCE on a machine that has the weights
@@ -226,7 +226,10 @@ def main():
                          "commit the file to pin detector parity")
     args = ap.parse_args()
     if args.emit_fixture is not None:
-        return emit_fixture(args.emit_fixture, n=4, res=(299, 256))
+        # 512 included: a DOWNsampled resolution pins the resize policy
+        # (antialias=False — jax's default antialias diverged by >130 u8
+        # units at 512²→299; upsampled-only fixtures can't catch it)
+        return emit_fixture(args.emit_fixture, n=4, res=(299, 256, 512))
 
     have_pth = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION", ""))
     have_ts = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION_TS", ""))
