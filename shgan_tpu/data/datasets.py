@@ -196,6 +196,12 @@ class Places2Dataset(_Base):
                  try_sample=None):
         subdir = self.MODES.get(mode, mode)
         base = osp.join(root_dir, subdir)
+        if not osp.isdir(base):
+            # raise like every sibling dataset: get_dataset's documented
+            # missing-root handling (synthetic debug fallback) keys on
+            # FileNotFoundError — os.walk on a missing path would
+            # silently yield a 0-length dataset instead
+            raise FileNotFoundError(f"places2 root not found: {base}")
         info = []
         for dirpath, _dirnames, filenames in sorted(os.walk(base)):
             for fn in sorted(filenames):
@@ -228,6 +234,8 @@ class ImageDirDataset(_Base):
     """Flat/recursive image directory (generic fallback pattern)."""
 
     def __init__(self, root_dir, resolution=None, try_sample=None):
+        if not osp.isdir(root_dir):
+            raise FileNotFoundError(f"image dir not found: {root_dir}")
         info = []
         for dirpath, _d, filenames in sorted(os.walk(root_dir)):
             for fn in sorted(filenames):

@@ -162,6 +162,14 @@ class PPLEvaluator(BaseEvaluator):
 
     def run_generator_metrics(self, G, params, seed=0):
         """Sampling loop (perceptual_path_length.py:107-125)."""
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "PPL is single-process: conditioning contexts are "
+                "process-local and the sampler output would span "
+                "non-addressable devices (the reference's PPL lives in "
+                "its dead stylegan_metrics package — there is no "
+                "multi-host protocol to match); run the ppl evaluator "
+                "in a single-process eval")
         if not self._contexts:
             raise RuntimeError(
                 "PPL has no conditional contexts: add_batch with mask= must "

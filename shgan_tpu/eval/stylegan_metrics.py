@@ -40,29 +40,39 @@ def compute_kid(real_features, gen_features, num_subsets=100,
     return float(t / num_subsets / m)
 
 
-def _pairwise_dist(a, b, batch=4096):
-    out = np.empty((a.shape[0], b.shape[0]), np.float32)
+def _dist_rows(a, b, i, batch, bsq=None):
+    """One row block of the pairwise distance matrix: ‖a[i:i+batch] − b‖."""
     bb = np.asarray(b, np.float32)
-    bsq = np.square(bb).sum(1)
-    for i in range(0, a.shape[0], batch):
-        ai = np.asarray(a[i:i + batch], np.float32)
-        d2 = (np.square(ai).sum(1)[:, None] + bsq[None]
-              - 2 * ai @ bb.T)
-        out[i:i + batch] = np.sqrt(np.maximum(d2, 0))
-    return out
+    if bsq is None:
+        bsq = np.square(bb).sum(1)
+    ai = np.asarray(a[i:i + batch], np.float32)
+    d2 = np.square(ai).sum(1)[:, None] + bsq[None] - 2 * ai @ bb.T
+    return np.sqrt(np.maximum(d2, 0))
 
 
-def compute_precision_recall(real_features, gen_features, nhood_size=3):
+def compute_precision_recall(real_features, gen_features, nhood_size=3,
+                             batch=4096):
     """Improved precision & recall (precision_recall.py:37-60): a probe is
-    covered if it lies within some manifold point's k-NN radius."""
+    covered if it lies within some manifold point's k-NN radius.
+
+    Streamed in row batches like the reference: only per-row kth radii
+    and per-probe coverage bits are kept — a full N×N float32 matrix at
+    the 50k protocol would be 10 GB."""
     results = {}
     for name, manifold, probes in (("precision", real_features, gen_features),
                                    ("recall", gen_features, real_features)):
-        dist_mm = _pairwise_dist(manifold, manifold)
+        mm = np.asarray(manifold, np.float32)
+        msq = np.square(mm).sum(1)
         # (nhood_size+1)-th smallest including self-distance 0
-        kth = np.partition(dist_mm, nhood_size, axis=1)[:, nhood_size]
-        dist_pm = _pairwise_dist(probes, manifold)
-        covered = (dist_pm <= kth[None]).any(axis=1)
+        kth = np.empty(mm.shape[0], np.float32)
+        for i in range(0, mm.shape[0], batch):
+            d = _dist_rows(mm, mm, i, batch, msq)
+            kth[i:i + batch] = np.partition(d, nhood_size,
+                                            axis=1)[:, nhood_size]
+        covered = np.zeros(np.asarray(probes).shape[0], bool)
+        for i in range(0, covered.shape[0], batch):
+            d = _dist_rows(probes, mm, i, batch, msq)
+            covered[i:i + batch] = (d <= kth[None]).any(axis=1)
         results[name] = float(covered.mean())
     return results["precision"], results["recall"]
 
@@ -88,7 +98,11 @@ def slerp(a, b, t):
     p = t * np.arccos(np.clip(d, -1, 1))
     c = b - d * a
     c = c / np.linalg.norm(c, axis=-1, keepdims=True)
-    return a * np.cos(p) + c * np.sin(p)
+    out = a * np.cos(p) + c * np.sin(p)
+    # final renormalization per the reference (perceptual_path_length.py:30)
+    # — for nearly-parallel a,b the normalized-c term amplifies float
+    # noise off the unit sphere
+    return out / np.linalg.norm(out, axis=-1, keepdims=True)
 
 
 def ppl_from_distances(dist):

@@ -66,9 +66,26 @@ def local_rows(arr):
 
     if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
         return np.asarray(arr)
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: (s.index[0].start or 0))
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    # Assemble by global index rather than concatenating shards: with a
+    # >1 'model' axis (spatial sharding) or replicated outputs, several
+    # local devices hold the SAME batch rows (naive concat counts each
+    # row once per replica), and an H-sharded output splits one row block
+    # across devices (concat along batch would be shape-wrong).  Writing
+    # every shard into its index region handles both: replicas overwrite
+    # with identical data, inner-dim shards tile their slots.
+    shards = arr.addressable_shards
+    starts = [(s.index[0].start or 0) for s in shards]
+    stops = [(s.index[0].stop if s.index[0].stop is not None
+              else arr.shape[0]) for s in shards]
+    lo, hi = min(starts), max(stops)
+    out = np.empty((hi - lo,) + arr.shape[1:], arr.dtype)
+    for s in shards:
+        ix = list(s.index)
+        b = ix[0]
+        ix[0] = slice((b.start or 0) - lo,
+                      (b.stop if b.stop is not None else arr.shape[0]) - lo)
+        out[tuple(ix)] = np.asarray(s.data)
+    return out
 
 
 def allgather_rows(arr):

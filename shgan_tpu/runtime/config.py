@@ -114,7 +114,10 @@ def _find_config_root():
     here = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
     for cand in ("configs", osp.join(here, "configs")):
         if osp.isdir(cand):
-            return cand
+            # absolutize: _Bank instances are cached for the process
+            # lifetime — a later chdir must not silently re-point a bank
+            # (or only the not-yet-built banks) at a different root
+            return osp.abspath(cand)
     raise FileNotFoundError("no configs/ directory found")
 
 
