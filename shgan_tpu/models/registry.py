@@ -47,11 +47,6 @@ def get_model(cfg):
     return MODEL_REGISTRY[typ](**args)
 
 
-def _norm(args):
-    """YAML uses null for None; nothing else to normalize."""
-    return args
-
-
 @register("stylegan2_mapping")
 @register("comodgan_mapping")
 def _mapping(**kw):

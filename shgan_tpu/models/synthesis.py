@@ -112,7 +112,9 @@ class StyleGANSynthesisBlock:
             x = self.conv1(params["conv1"], x, ws[:, w_idx],
                            gain=np.sqrt(0.5), noise_mode=noise_mode,
                            rng=_layer_rng(rng, 1))
-            x = y + x
+            # ic_n=0 builds no skip branch (nothing to add); reference
+            # configs never hit that combination, but don't crash on it
+            x = y + x if y is not None else x
         else:
             x = self.conv1(params["conv1"], x, ws[:, w_idx],
                            noise_mode=noise_mode, rng=_layer_rng(rng, 1))
@@ -365,10 +367,12 @@ class CoModSynthesis:
         w0 = x
         if self.plural:
             # pluralistic variant adds multiplicative noise to the global
-            # code (comodgan.py:505-506)
-            assert rng is not None
-            w0 = w0 + jax.random.normal(
-                jax.random.fold_in(rng, -1), w0.shape, w0.dtype) * w0
+            # code (comodgan.py:505-506).  The reference draws fresh randn
+            # even in eval; with rng=None (deterministic noise_mode) the
+            # draw is keyed constant so const/none eval still works
+            kr = (jax.random.fold_in(rng, -1) if rng is not None
+                  else jax.random.key(0))
+            w0 = w0 + jax.random.normal(kr, w0.shape, w0.dtype) * w0
 
         # note: b4 always receives the un-noised global code; only the
         # co-modulation of later blocks uses the noised w0 (comodgan.py:505-507)

@@ -182,20 +182,24 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1):
     # as an fp32-exact oracle via SHGAN_FIR=pallas.
     if downx == 1 and downy == 1 and f_host is not None:
         from . import fir_pallas
-        f_np = f_host * (gain ** (f_host.ndim / 2))
-        if not flip_filter:
-            f_np = f_np[tuple(slice(None, None, -1)
-                              for _ in range(f_np.ndim))]
-        if f_np.ndim == 1:
-            # 1D = separable by construction; f carries sqrt(gain), so
-            # using it on both axes applies the full gain
-            fac = (tuple(float(v) for v in f_np),
-                   tuple(float(v) for v in f_np))
-        else:
-            fac = fir_pallas.separable_factor(f_np)
-        if fac is not None and fir_pallas.fir_pallas_eligible(
-                x.shape, x.dtype, fac[0], fac[1]):
-            return fir_pallas.fir_separable_valid(x, fac[0], fac[1])
+        # consult the impl switch BEFORE factoring: default 'auto' routes
+        # nothing, so skip the trace-time SVD + duplicated gain/flip work
+        # unless the kernel is actually opted in
+        if fir_pallas.get_fir_impl() in ("pallas", "interpret"):
+            f_np = f_host * (gain ** (f_host.ndim / 2))
+            if not flip_filter:
+                f_np = f_np[tuple(slice(None, None, -1)
+                                  for _ in range(f_np.ndim))]
+            if f_np.ndim == 1:
+                # 1D = separable by construction; f carries sqrt(gain), so
+                # using it on both axes applies the full gain
+                fac = (tuple(float(v) for v in f_np),
+                       tuple(float(v) for v in f_np))
+            else:
+                fac = fir_pallas.separable_factor(f_np)
+            if fac is not None and fir_pallas.fir_pallas_eligible(
+                    x.shape, x.dtype, fac[0], fac[1]):
+                return fir_pallas.fir_separable_valid(x, fac[0], fac[1])
 
     if f.ndim == 2:
         x = _depthwise_fir(x, f, downx, downy)
