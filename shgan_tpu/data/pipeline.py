@@ -54,7 +54,8 @@ class _Prefetcher:
                 yield self.make_batch(b)
             return
         window = max(self.depth, self.num_threads)
-        with ThreadPoolExecutor(self.num_threads) as ex:
+        ex = ThreadPoolExecutor(self.num_threads)
+        try:
             inflight = deque()
             nxt = 0
             while nxt < min(window, n):
@@ -66,6 +67,11 @@ class _Prefetcher:
                     inflight.append(ex.submit(self.make_batch, nxt))
                     nxt += 1
                 yield batch
+        finally:
+            # abandoning the iterator mid-stream (consumer exception,
+            # GeneratorExit) must not block on up to `window` queued
+            # batch builds — cancel what hasn't started, don't wait
+            ex.shutdown(wait=False, cancel_futures=True)
 
 
 def _process_shard():

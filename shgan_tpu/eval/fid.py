@@ -26,7 +26,12 @@ def frechet_distance(mu1, sigma1, mu2, sigma2):
 
 
 def feature_stats(feat, n=None):
-    """Biased mean/cov exactly as the reference (eva_fid.py:268-271)."""
+    """Biased mean/cov exactly as the reference (eva_fid.py:268-271).
+
+    ``n`` is the REQUESTED sample count: the reference divides the
+    covariance by it even when the bank holds fewer rows (an underfull
+    bank biases sigma down there too) — pass the protocol's sample_n,
+    not the row count, for parity on short datasets."""
     feat = np.asarray(feat, np.float64)
     if n is None:
         n = feat.shape[0]
@@ -40,8 +45,12 @@ def feature_stats(feat, n=None):
 class FIDEvaluator(FeatureBankEvaluator):
     def compute(self):
         fake_feat, real_feat, _ = self._gather()
-        mu_f, sig_f = feature_stats(fake_feat)
-        mu_r, sig_r = feature_stats(real_feat)
+        nf = (self.sample_n if self.sample_fake_n is None
+              else self.sample_fake_n)
+        nr = (self.sample_n if self.sample_real_n is None
+              else self.sample_real_n)
+        mu_f, sig_f = feature_stats(fake_feat, nf)
+        mu_r, sig_r = feature_stats(real_feat, nr)
         fid = frechet_distance(mu_f, sig_f, mu_r, sig_r)
         self.final["fid"] = fid
         return fid

@@ -123,11 +123,18 @@ def load_lpips_params(alexnet_weights, lin_weights):
 
 
 def _load_lins(params, lsd):
+    candidates = ("lin{i}.model.1.weight", "lins.{i}.model.1.weight",
+                  "lin{i}.weight")
     for i in range(5):
-        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight",
-                    f"lin{i}.weight"):
+        for pat in candidates:
+            key = pat.format(i=i)
             if key in lsd:
                 break
+        else:
+            raise KeyError(
+                f"lin weights for layer {i} not found — expected one of "
+                f"{[p.format(i=i) for p in candidates]} in the lin-weights"
+                f" file (keys present: {sorted(lsd)[:8]}…)")
         params[f"lin{i}"] = {"weight": jnp.asarray(lsd[key], jnp.float32)}
 
 

@@ -47,19 +47,31 @@ class _FileLock:
         self.fd = None
 
     def __enter__(self):
-        deadline = time.time() + self.timeout
+        deadline = time.time() + self.timeout * 2
         while True:
             try:
                 self.fd = os.open(self.path,
                                   os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 return self
             except FileExistsError:
-                if time.time() > deadline:
-                    # stale lock — steal it
+                # staleness is the age of the LOCK FILE, not this waiter's
+                # patience: two impatient waiters judging by their own
+                # deadlines could unlink each other's fresh locks and both
+                # enter the critical section (two g++ processes writing
+                # the same .so.tmp → corrupt published library)
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    continue  # holder released between create and stat
+                if age > self.timeout:
                     try:
-                        os.unlink(self.path)
+                        os.unlink(self.path)  # holder died mid-build
                     except OSError:
                         pass
+                elif time.time() > deadline:
+                    raise TimeoutError(
+                        f"build lock {self.path} held by a live builder "
+                        f"for >{self.timeout * 2:.0f}s")
                 time.sleep(0.05)
 
     def __exit__(self, *exc):

@@ -58,12 +58,14 @@ def random_mask_batch(n, s, hole_range=(0.0, 1.0), seed=0, num_threads=0,
         if impl == "native":
             raise RuntimeError(f"native maskgen unavailable: {_LIB_ERR}")
         from ..data.masks import random_mask
-        rng_state = np.random.get_state()
-        np.random.seed(seed & 0x7FFFFFFF)
-        try:
+        from ..data.rng import batch_rng
+        # drive the SAME RNG random_mask reads: a batch_rng scope installs
+        # a thread-local RandomState the _R proxy prefers over global
+        # np.random — seeding only the global RNG would be silently
+        # ignored inside a pipeline batch scope, and touching global
+        # state from worker threads races anyway
+        with batch_rng(seed & 0x7FFFFFFF):
             out = np.stack([random_mask(s, hole_range) for _ in range(n)])
-        finally:
-            np.random.set_state(rng_state)
         return out
 
     if num_threads <= 0:
@@ -80,6 +82,12 @@ def random_mask_batch(n, s, hole_range=(0.0, 1.0), seed=0, num_threads=0,
         ctypes.c_int64(n), ctypes.c_int32(s),
         ctypes.c_float(hole_range[0]), ctypes.c_float(hole_range[1]),
         ctypes.c_uint64(seed), ctypes.c_int32(num_threads))
+    if rc == 2:
+        raise RuntimeError(
+            f"hole_range {tuple(hole_range)} not satisfied within the "
+            "native attempt cap (10000) for some mask — the acceptance "
+            "probability of this range at this resolution is effectively "
+            "zero (the numpy impl would loop forever)")
     if rc != 0:
         raise RuntimeError(f"shgan_random_mask_batch rc={rc}")
     return out

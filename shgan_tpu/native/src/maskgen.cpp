@@ -156,14 +156,18 @@ void random_brush(Rng& rng, uint8_t* brush, int s, int max_tries) {
 }
 
 // RandomMask (ds_ffhq.py:199-217): rectangles + brush + hole-ratio
-// rejection.  Writes float32 s×s, 1 = keep.
-void random_mask_one(uint64_t seed, float* out, int s, float hole_lo,
+// rejection.  Writes float32 s×s, 1 = keep.  Returns false when the
+// hole-ratio test never passes within the attempt cap (the reference —
+// and the numpy fallback — loop forever; a bounded loop must ERROR
+// rather than silently emit an out-of-range mask).
+bool random_mask_one(uint64_t seed, float* out, int s, float hole_lo,
                      float hole_hi) {
   Rng rng(seed);
   std::vector<uint8_t> keep(static_cast<size_t>(s) * s);
   std::vector<uint8_t> brush(static_cast<size_t>(s) * s);
   const double coef = std::min(static_cast<double>(hole_lo) + hole_hi, 1.0);
 
+  bool ok = false;
   for (int attempt = 0; attempt < 10000; ++attempt) {
     std::memset(keep.data(), 1, keep.size());
 
@@ -188,10 +192,14 @@ void random_mask_one(uint64_t seed, float* out, int s, float hole_lo,
       holes += 1 - keep[i];
     }
     const double ratio = static_cast<double>(holes) / keep.size();
-    if (ratio > hole_lo && ratio < hole_hi) break;
+    if (ratio > hole_lo && ratio < hole_hi) {
+      ok = true;
+      break;
+    }
   }
   for (size_t i = 0; i < keep.size(); ++i)
     out[i] = static_cast<float>(keep[i]);
+  return ok;
 }
 
 }  // namespace
@@ -210,6 +218,7 @@ int shgan_random_mask_batch(float* out, int64_t n, int32_t s, float hole_lo,
   num_threads = std::min<int64_t>(std::max(num_threads, 1), n);
 
   std::atomic<int64_t> next(0);
+  std::atomic<bool> exhausted(false);
   auto work = [&]() {
     for (;;) {
       const int64_t i = next.fetch_add(1);
@@ -217,15 +226,16 @@ int shgan_random_mask_batch(float* out, int64_t n, int32_t s, float hole_lo,
       uint64_t mixer = seed + 0x51ed2701;
       const uint64_t mask_seed =
           Rng::splitmix(mixer) ^ (0x9e3779b97f4a7c15ull * (i + 1));
-      random_mask_one(mask_seed, out + i * static_cast<int64_t>(s) * s, s,
-                      hole_lo, hole_hi);
+      if (!random_mask_one(mask_seed, out + i * static_cast<int64_t>(s) * s,
+                           s, hole_lo, hole_hi))
+        exhausted.store(true);
     }
   };
   std::vector<std::thread> threads;
   for (int32_t t = 1; t < num_threads; ++t) threads.emplace_back(work);
   work();
   for (auto& t : threads) t.join();
-  return 0;
+  return exhausted.load() ? 2 : 0;  // 2: hole_range unsatisfiable
 }
 
 // Version/ABI probe for the loader.

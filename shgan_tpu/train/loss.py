@@ -23,8 +23,6 @@ and out explicitly.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -80,7 +78,11 @@ def g_pl_loss(G, params_g, x_in, z, c, rng, pl_mean, pl_decay=0.01,
     c_s = None if c is None else c[:n]
     k_map, k_mix, k_enc, k_syn, k_noise = jax.random.split(rng, 5)
 
-    ws = G.mapping(params_g["mapping"], z_s, c_s)
+    # the reference's Gpl mapping forward also advances the w_avg buffer
+    # (run_G has no skip flag there, stylegan.py:416-417) — return the
+    # update for the train step to chain after the Gmain one
+    ws, new_w_avg = G.mapping(params_g["mapping"], z_s, c_s,
+                              update_w_avg=True)
     num_ws = ws.shape[1]
     k_cut, k_p, k_z = jax.random.split(k_mix, 3)
     cutoff = jax.random.randint(k_cut, (), 1, num_ws)
@@ -105,21 +107,25 @@ def g_pl_loss(G, params_g, x_in, z, c, rng, pl_mean, pl_decay=0.01,
 
     pl_grads = jax.grad(synth_out)(ws)
     pl_lengths = jnp.sqrt(jnp.square(pl_grads).sum(axis=2).mean(axis=1))
-    # pl_mean.lerp(lengths.mean(), decay) (reference loss `:81`)
+    # pl_mean.lerp(lengths.mean(), decay) (reference loss `:81`).  The
+    # penalty differentiates THROUGH the lerped mean — the reference
+    # detaches only the buffer copy (loss `:82-84`), so the generator
+    # gradient carries the -decay/n cross term
     new_pl_mean = pl_mean + pl_decay * (pl_lengths.mean() - pl_mean)
-    pl_penalty = jnp.square(pl_lengths
-                            - jax.lax.stop_gradient(new_pl_mean))
+    pl_penalty = jnp.square(pl_lengths - new_pl_mean)
     loss = (pl_penalty * pl_weight).mean()
-    return loss, new_pl_mean, pl_lengths.mean()
+    return loss, new_pl_mean, pl_lengths.mean(), new_w_avg
 
 
 def d_main_loss(G, D, params_g, params_d, x_in, mask, real, z, c, rng,
                 style_mixing_prob=0.9):
     """Discriminator main loss: softplus(D(gen)) + softplus(−D(real))
     (reference loss `:92-116`)."""
-    img, _ws, _ = run_g(G, params_g, x_in, z, c, rng,
-                        style_mixing_prob=style_mixing_prob,
-                        update_w_avg=False)
+    # update_w_avg=True: the reference's Dmain run_G also advances the
+    # w_avg buffer (run_G has no skip flag, stylegan.py:416-417)
+    img, _ws, new_w_avg = run_g(G, params_g, x_in, z, c, rng,
+                                style_mixing_prob=style_mixing_prob,
+                                update_w_avg=True)
     img = jax.lax.stop_gradient(img)
     gen_logits = D(params_d, jnp.concatenate([mask - 0.5, img], axis=1), c)
     real_logits = D(params_d,
@@ -127,7 +133,8 @@ def d_main_loss(G, D, params_g, params_d, x_in, mask, real, z, c, rng,
     loss = (jax.nn.softplus(gen_logits)
             + jax.nn.softplus(-real_logits)).mean()
     return loss, {"scores_fake": gen_logits.mean(),
-                  "scores_real": real_logits.mean()}
+                  "scores_real": real_logits.mean(),
+                  "w_avg": new_w_avg}
 
 
 def d_r1_loss(D, params_d, mask, real, c, r1_gamma=10.0):

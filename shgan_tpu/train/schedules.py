@@ -101,12 +101,22 @@ class ComposedSchedule:
         self.step = int(self.boundaries[-1])
 
     def __getitem__(self, idx):
+        # pure-Python segment dispatch: routing through the traced
+        # __call__ would evaluate EVERY segment eagerly per index (and
+        # round through f32); the per-segment closed forms are exact f64
         if idx >= self.step:
             raise ValueError(idx)
-        return float(self(idx))
+        for seg, end in zip(self.segments, self.boundaries):
+            if idx < end:
+                return seg[idx - (end - seg.step)]
+        raise ValueError(idx)  # unreachable
 
     def to_list(self):
-        return [self[i] for i in range(self.step)]
+        # reference compose semantics: concatenation of the segment lists
+        out = []
+        for seg in self.segments:
+            out.extend(seg.to_list())
+        return out
 
     def __call__(self, count):
         # jit-traceable piecewise evaluation over the segment table.

@@ -183,6 +183,19 @@ def make_train_step(G, D, cfg: TrainConfig):
         k_g, k_gpl, k_d, k_z1, k_z2, k_z3 = jax.random.split(rng, 6)
         metrics = {}
 
+        # w_avg chaining setup: the reference advances the 0.995-EMA
+        # buffer on EVERY training-mode mapping forward — Gmain, Gpl, and
+        # Dmain (run_G has no skip flag, stylegan.py:416-417).  Each
+        # loss's aux update is a lerp from the w_avg its params carried;
+        # sequential-buffer semantics compose via
+        #   lerp(m_r, w) = aux_r + beta * (w - w_base)
+        # when aux_r was computed from w_base (see g_round).
+        has_wa = "w_avg" in state["params_g"]["mapping"]
+        beta = getattr(G.mapping, "w_avg_beta", None)
+        chain_wa = has_wa and beta is not None
+        w0 = (state["params_g"]["mapping"]["w_avg"] if has_wa
+              else jnp.zeros((0,)))
+
         # ----- G phase (Gmain [+ Greg]) -----
         def g_loss_fn(params_g, x_in, mask, keys, pl_mean):
             kz1, kz2, kg, kgpl = keys
@@ -195,64 +208,70 @@ def make_train_step(G, D, cfg: TrainConfig):
             total = loss_main
             new_pl_mean = pl_mean
             pl_len = jnp.zeros(())
+            pl_wa = jnp.zeros((0,))
             if do_greg:
                 z2 = jax.random.normal(kz2, (nb, G.z_dim))
-                loss_pl, new_pl_mean, pl_len = L.g_pl_loss(
+                loss_pl, new_pl_mean, pl_len, pl_w_avg = L.g_pl_loss(
                     G, params_g, x_in, z2, c, kgpl, pl_mean,
                     pl_decay=cfg.pl_decay, pl_weight=cfg.pl_weight,
                     pl_batch_shrink=cfg.pl_batch_shrink,
                     style_mixing_prob=cfg.style_mixing_prob)
+                if pl_w_avg is not None:
+                    pl_wa = pl_w_avg
                 # lazy reg: loss scaled by the interval (gain,
                 # stylegan_default.py:156)
                 total = total + loss_pl * cfg.g_reg_interval
-            return total, (aux, new_pl_mean, pl_len, loss_main)
+            return total, (aux, new_pl_mean, pl_len, loss_main, pl_wa)
 
         g_vgrad = jax.value_and_grad(g_loss_fn, has_aux=True)
         if A == 1:
             keys = (k_z1, k_z2, k_g, k_gpl)
-            (_, (g_aux, new_pl_mean, pl_len, g_main)), g_grads = g_vgrad(
+            ((_, (g_aux, new_pl_mean, pl_len, g_main, pl_wa)),
+             g_grads) = g_vgrad(
                 state["params_g"], x_in, mask, keys, state["pl_mean"])
+            if chain_wa and g_aux["w_avg"] is not None:
+                wa = g_aux["w_avg"]          # Gmain lerp from w0
+                if pl_wa.size:               # then the Gpl lerp
+                    wa = pl_wa + beta * (wa - w0)
+                g_aux = dict(g_aux, w_avg=wa)
         else:
             # sequential micro-batch rounds, grads averaged; pl_mean AND
             # w_avg chain through the rounds like the reference's in-place
-            # buffers.  Every round's aux w_avg is computed from the same
-            # STALE pre-step w0 (params are fixed across rounds), so the
-            # chained lerp is exactly aux_r + beta*(w_carry - w0):
-            # lerp(m_r, w) = m_r + beta*(w - m_r)
-            #             = [m_r + beta*(w0 - m_r)] + beta*(w - w0)
-            has_wa = "w_avg" in state["params_g"]["mapping"]
-            beta = getattr(G.mapping, "w_avg_beta", None)
-            w0 = (state["params_g"]["mapping"]["w_avg"] if has_wa
-                  else jnp.zeros((0,)))
-
+            # buffers.  Every round's aux is a lerp from the same STALE
+            # pre-step w0 (params are fixed across rounds); all Gmain
+            # rounds fold first, then all Gpl rounds (the reference runs
+            # the phases as separate full passes).
             def g_round(carry, inp):
                 gacc, pl_mean, wa = carry
                 x_mb, m_mb, keys = inp
-                (_, (aux, pl_mean, pl_len, main)), grads = g_vgrad(
+                (_, (aux, pl_mean, pl_len, main, pl_wa)), grads = g_vgrad(
                     state["params_g"], x_mb, m_mb, keys, pl_mean)
                 gacc = jax.tree.map(jnp.add, gacc, grads)
-                if aux["w_avg"] is not None and has_wa:
+                if aux["w_avg"] is not None and chain_wa:
                     wa = aux["w_avg"] + beta * (wa - w0)
                 return (gacc, pl_mean, wa), (aux["scores_fake"], pl_len,
-                                             main)
+                                             main, pl_wa)
 
             split = lambda t: t.reshape((A, nm) + t.shape[1:])
             keys = tuple(jax.random.split(k, A)
                          for k in (k_z1, k_z2, k_g, k_gpl))
             gacc0 = jax.tree.map(jnp.zeros_like, state["params_g"])
-            (gacc, new_pl_mean, wa), (sf, pl_lens, mains) = lax.scan(
-                g_round, (gacc0, state["pl_mean"], w0),
-                (split(x_in), split(mask), keys))
+            (gacc, new_pl_mean, wa), (sf, pl_lens, mains, pl_was) = \
+                lax.scan(g_round, (gacc0, state["pl_mean"], w0),
+                         (split(x_in), split(mask), keys))
             g_grads = jax.tree.map(lambda t: t / A, gacc)
+            if chain_wa and pl_was.shape[-1]:
+                for r in range(A):  # Gpl rounds fold after all Gmain ones
+                    wa = pl_was[r] + beta * (wa - w0)
             g_aux = {"scores_fake": sf.mean(),
-                     "w_avg": (wa if has_wa and beta is not None
-                               else None)}
+                     "w_avg": wa if chain_wa else None}
             pl_len = pl_lens.mean()
             g_main = mains.mean()
         g_updates, new_opt_g = g_tx.update(g_grads, state["opt_g"],
                                            state["params_g"])
         params_g = optax.apply_updates(state["params_g"], g_updates)
-        # w_avg EMA from the Gmain mapping pass (stylegan.py:416-417)
+        # chained w_avg EMA from the Gmain (+Gpl) mapping passes
+        # (stylegan.py:416-417)
         if g_aux["w_avg"] is not None:
             params_g["mapping"]["w_avg"] = g_aux["w_avg"]
         metrics["loss_g"] = g_main
@@ -278,26 +297,36 @@ def make_train_step(G, D, cfg: TrainConfig):
             return total, (aux, r1, loss_main)
 
         d_vgrad = jax.value_and_grad(d_loss_fn, has_aux=True)
+        # Dmain's run_G also lerps w_avg (reference run_G has no skip
+        # flag); its base is the post-G-phase value params_g now carries
+        w0d = (params_g["mapping"]["w_avg"] if has_wa
+               else jnp.zeros((0,)))
         if A == 1:
             (_, (d_aux, r1_pen, d_main)), d_grads = d_vgrad(
                 state["params_d"], x_in, mask, real, (k_z3, k_d))
+            if chain_wa and d_aux.get("w_avg") is not None:
+                params_g["mapping"]["w_avg"] = d_aux["w_avg"]
         else:
             def d_round(carry, inp):
-                dacc = carry
+                dacc, wa = carry
                 x_mb, m_mb, r_mb, keys = inp
                 (_, (aux, r1, main)), grads = d_vgrad(
                     state["params_d"], x_mb, m_mb, r_mb, keys)
                 dacc = jax.tree.map(jnp.add, dacc, grads)
-                return dacc, (aux["scores_real"], aux["scores_fake"],
-                              r1, main)
+                if chain_wa and aux.get("w_avg") is not None:
+                    wa = aux["w_avg"] + beta * (wa - w0d)
+                return (dacc, wa), (aux["scores_real"], aux["scores_fake"],
+                                    r1, main)
 
             split = lambda t: t.reshape((A, nm) + t.shape[1:])
             keys = tuple(jax.random.split(k, A) for k in (k_z3, k_d))
             dacc0 = jax.tree.map(jnp.zeros_like, state["params_d"])
-            dacc, (sr, sf, r1s, mains) = lax.scan(
-                d_round, dacc0, (split(x_in), split(mask), split(real),
-                                 keys))
+            (dacc, wad), (sr, sf, r1s, mains) = lax.scan(
+                d_round, (dacc0, w0d), (split(x_in), split(mask),
+                                        split(real), keys))
             d_grads = jax.tree.map(lambda t: t / A, dacc)
+            if chain_wa:
+                params_g["mapping"]["w_avg"] = wad
             d_aux = {"scores_real": sr.mean(), "scores_fake": sf.mean()}
             r1_pen = r1s.mean()
             d_main = mains.mean()
