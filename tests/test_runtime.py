@@ -36,6 +36,22 @@ def test_model_bank_small_variants():
     assert s["args"]["synthesis"]["args"]["ch_base"] == 16384
 
 
+def test_config_banks_survive_chdir(tmp_path, monkeypatch):
+    """The config root is absolutized at discovery: bank construction
+    after a chdir (tools running from a log dir, tmp_path tests) must
+    resolve the same configs/ as before (runtime/config.py
+    _find_config_root)."""
+    before = model_cfg_bank()("shgan_g256")
+    monkeypatch.chdir(tmp_path)
+    # a fresh bank class construction would glob the new cwd without the
+    # abspath fix; the cross-bank DATASET()/MODEL() macros inside
+    # experiment solve exercise the lazily-built banks too
+    after = model_cfg_bank()("shgan_g256")
+    assert after == before
+    exp = experiment_cfg_bank()("shgan_ffhq256_eval")
+    assert exp["model_g"]["type"] == "comodgan_generator"
+
+
 def test_dataset_bank():
     bank = dataset_cfg_bank()
     d = bank("ffhqzip_val256_inpainting")
