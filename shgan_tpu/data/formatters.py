@@ -46,6 +46,12 @@ class RandomMaskFormatter:
         if impl != "numpy":
             from ..native.maskgen import native_available
             self._native = native_available() or None
+            if impl == "native" and not self._native:
+                from ..native.maskgen import _LIB_ERR
+                raise RuntimeError(
+                    f"impl='native' requires the C++ maskgen but it is "
+                    f"unavailable ({_LIB_ERR}); use impl='auto' for a "
+                    "silent numpy fallback")
 
     def __call__(self, element):
         u8 = element.get("image_u8") if isinstance(element, dict) else None
@@ -130,8 +136,12 @@ class AdvInpaintingFormatter:
                                          mask_resolution=resolution,
                                          hole_range=hole_range, impl=impl)
 
+    # pixel-altering augmentation: device_image_bank mode (which serves
+    # raw dataset rows and discards formatter pixels) must reject it
+    alters_pixels = True
+
     def __call__(self, element):
-        from PIL import Image
+        from .transforms import resize_bicubic_float
         x = element["image"]                       # CHW in [0, 1]
         _, oh, ow = x.shape
         s = self.resolution
@@ -139,12 +149,12 @@ class AdvInpaintingFormatter:
         nw = _R.randint(s, max(ow, int(s * 1.2)) + 1)
         ch = _R.randint(0, nh - s + 1)
         cw = _R.randint(0, nw - s + 1)
-        img = Image.fromarray(
-            (x.transpose(1, 2, 0) * 255).astype(np.uint8))
-        img = img.resize((nw, nh), Image.BICUBIC)
-        x = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
-        x = x[:, ch:ch + s, cw:cw + s]
+        # reference order and precision (ds_places2.py:196-205): normalize
+        # to [-1,1] FIRST, then float torch-kernel bicubic (overshoot
+        # preserved, no uint8 quantization), then crop
         x = (x - 0.5) * 2
+        x = resize_bicubic_float(x, nh, nw)
+        x = x[:, ch:ch + s, cw:cw + s]
         _, mask, _ = self._mask({"image": (x + 1) / 2,
                                  "unique_id": element["unique_id"]})
         return x.astype(np.float32), mask, element["unique_id"]
@@ -177,7 +187,11 @@ class FixedMaskFormatter:
         import os.path as osp
         x = element["image"] * 2 - 1
         p = osp.join(self.mask_dir, element["unique_id"] + self.suffix)
-        m = np.asarray(Image.open(p).convert("1"), dtype=np.float32)
+        # threshold like the reference (mask > 128) — PIL's convert("1")
+        # would Floyd-Steinberg DITHER anti-aliased mask edges into
+        # speckle instead of a clean boundary
+        m = (np.asarray(Image.open(p).convert("L")) > 128) \
+            .astype(np.float32)
         return x, m, element["unique_id"]
 
 

@@ -123,14 +123,18 @@ class EvalPipeline:
                 raise ValueError(
                     f"dataset {type(dataset).__name__} has no image_bank()"
                     " — device_image_bank unsupported")
-            if getattr(formatter, "random_flip", False):
+            if (getattr(formatter, "random_flip", False)
+                    or getattr(formatter, "alters_pixels", False)):
                 # bank mode serves the uploaded image row and DISCARDS the
-                # formatter's image output — a flipping formatter would
-                # silently evaluate unflipped images (the published eval
-                # protocol is no-flip, configs/dataset/*: random_flip false)
+                # formatter's image output — a flipping formatter, a
+                # pixel-altering formatter (AdvInpainting scale+crop), or
+                # any transforms pipeline would silently evaluate
+                # different pixels than configured (the published eval
+                # protocol is transform-free and no-flip)
                 raise ValueError(
-                    "device_image_bank requires a flip-free formatter "
-                    "(set formatter.args.random_flip: false or disable "
+                    "device_image_bank requires a pixel-preserving "
+                    "formatter with no transforms (set random_flip: "
+                    "false, drop transforms, or disable "
                     "device_image_bank)")
             bank_np, bank_map = dataset.image_bank()
             from ..parallel import replicated

@@ -66,6 +66,14 @@ class BaseEvaluator:
     def set_sample_n(self, n):
         self.sample_n = n
 
+    @staticmethod
+    def _log(msg):
+        """Metric lines go through the logfile tee — a bare print would
+        leave result lines out of the persisted eval.log (the reference
+        uses print_log, eva_base.py:246-247)."""
+        from ..runtime.logging import print_log
+        print_log(msg)
+
     def add_batch(self, **kwargs):
         raise NotImplementedError
 
@@ -73,7 +81,7 @@ class BaseEvaluator:
         raise NotImplementedError
 
     def one_line_summary(self):
-        print("Evaluator {}: {}".format(self.symbol, self.final))
+        self._log("Evaluator {}: {}".format(self.symbol, self.final))
 
     def clear_data(self):
         pass

@@ -165,7 +165,7 @@ class KIDEvaluator(FeatureBankEvaluator):
         return kid
 
     def one_line_summary(self):
-        print("Evaluator kid: {:.6f}".format(self.final["kid"]))
+        self._log("Evaluator kid: {:.6f}".format(self.final["kid"]))
 
 
 @register_evaluator("pr")
@@ -185,7 +185,7 @@ class PREvaluator(FeatureBankEvaluator):
         return {"precision": precision, "recall": recall}
 
     def one_line_summary(self):
-        print("Evaluator pr: precision {:.4f} recall {:.4f}".format(
+        self._log("Evaluator pr: precision {:.4f} recall {:.4f}".format(
             self.final["precision"], self.final["recall"]))
 
 
@@ -211,5 +211,5 @@ class ISEvaluator(FeatureBankEvaluator):
         return {"is_mean": mean, "is_std": std}
 
     def one_line_summary(self):
-        print("Evaluator is: {:.4f} ± {:.4f}".format(
+        self._log("Evaluator is: {:.4f} ± {:.4f}".format(
             self.final["is_mean"], self.final["is_std"]))

@@ -56,4 +56,4 @@ class FIDEvaluator(FeatureBankEvaluator):
         return fid
 
     def one_line_summary(self):
-        print("Evaluator fid: {:.4f}".format(self.final["fid"]))
+        self._log("Evaluator fid: {:.4f}".format(self.final["fid"]))

@@ -288,7 +288,7 @@ class LPIPSEvaluator(BaseEvaluator):
         return self.final["lpips"]
 
     def one_line_summary(self):
-        print("Evaluator lpips: {:.4f}".format(self.final["lpips"]))
+        self._log("Evaluator lpips: {:.4f}".format(self.final["lpips"]))
 
     def clear_data(self):
         self.data = []

@@ -200,7 +200,7 @@ class PPLEvaluator(BaseEvaluator):
         return self.final["ppl"]
 
     def one_line_summary(self):
-        print("Evaluator ppl: {:.4f}".format(self.final["ppl"]))
+        self._log("Evaluator ppl: {:.4f}".format(self.final["ppl"]))
 
     def clear_data(self):
         self._contexts = []

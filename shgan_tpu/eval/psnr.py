@@ -55,7 +55,7 @@ class PSNREvaluator(BaseEvaluator):
         return self.final["psnr"]
 
     def one_line_summary(self):
-        print("Evaluator psnr: {:.4f}".format(self.final["psnr"]))
+        self._log("Evaluator psnr: {:.4f}".format(self.final["psnr"]))
 
     def clear_data(self):
         self.data_psnr = []

@@ -96,7 +96,7 @@ class SSIMEvaluator(BaseEvaluator):
         return self.final["ssim"]
 
     def one_line_summary(self):
-        print("Evaluator ssim: {:.4f}".format(self.final["ssim"]))
+        self._log("Evaluator ssim: {:.4f}".format(self.final["ssim"]))
 
     def clear_data(self):
         self.data_ssim = []

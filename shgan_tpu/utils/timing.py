@@ -19,8 +19,11 @@ def device_timeit(fn, *args, iters=8, warmup=2):
     import jax
 
     def fence(r):
+        # ONE scalar, not the whole leaf: post-jit transfers run at
+        # 20-40 MB/s on the tunneled backend (CLAUDE.md) — fetching a
+        # full image batch would dominate the timed window
         leaf = jax.tree.leaves(r)[0]
-        np.asarray(leaf)
+        np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
 
     for _ in range(warmup):
         fence(fn(*args))

@@ -218,13 +218,14 @@ def test_device_image_bank_rejects_flipping_formatter():
     flip = get_formatter({"type": "RandomMaskFormatter",
                           "args": {"mask_resolution": 16,
                                    "random_flip": True}})
-    with pytest.raises(ValueError, match="flip-free"):
+    with pytest.raises(ValueError, match="pixel-preserving"):
         EvalPipeline(ds, flip, batch_size=2, device_image_bank=True)
 
     wrapped = wrap_formatter(flip, [{"type": "Resize",
                                      "args": {"resolution": 16}}])
     assert wrapped.random_flip is True
-    with pytest.raises(ValueError, match="flip-free"):
+    assert wrapped.alters_pixels is True  # ANY transforms → bank invalid
+    with pytest.raises(ValueError, match="pixel-preserving"):
         EvalPipeline(ds, wrapped, batch_size=2, device_image_bank=True)
 
     noflip = get_formatter({"type": "RandomMaskFormatter",
