@@ -403,6 +403,28 @@ def main():
         set_noise_impl("pallas")
 
     G = get_model(cfg)
+
+    # Upload the benchmark inputs BEFORE any executable runs: transfers
+    # degrade 40-70x after the first jit execution on the tunneled
+    # backend (CLAUDE.md), and G.init below runs executables.  The first
+    # candidate batch (~470 MB at 512^2/bs=120) rides the fast link;
+    # in child mode (BENCH_BATCH set) there is exactly one candidate.
+    if os.environ.get("BENCH_BATCH"):
+        _pre_batches = [int(os.environ["BENCH_BATCH"])]
+    elif jax.default_backend() == "cpu":
+        _pre_batches = [2]
+    else:
+        _pre_batches = [96, 64]
+    _pre = {}
+    _prerng = np.random.RandomState(0)
+    bs0 = _pre_batches[0]
+    _pre[bs0] = (
+        jnp.asarray(_prerng.randn(bs0, 3, res, res).astype(np.float32)),
+        jnp.asarray((_prerng.rand(bs0, 1, res, res) > 0.5)
+                    .astype(np.float32)),
+        jnp.asarray(_prerng.randn(bs0, G.z_dim).astype(np.float32)))
+    jax.block_until_ready(_pre[bs0])
+
     params = G.init(jax.random.key(0))
 
     from shgan_tpu.models.infer import composite_forward
@@ -419,25 +441,24 @@ def main():
     # RTT (~ms) is noise against the ~100 ms step.
     iters = 2 if on_cpu else 12
 
-    if os.environ.get("BENCH_BATCH"):
-        batches = [int(os.environ["BENCH_BATCH"])]
-    elif on_cpu:
-        batches = [2]
-    else:
-        # in-process fallback (BENCH_SUBPROC=0): stay well below the
-        # 128-batch OOM — an OOM poisons every later batch in this process
-        batches = [96, 64]
+    # in-process fallback batches (BENCH_SUBPROC=0): stay well below the
+    # 128-batch OOM — an OOM poisons every later batch in this process
+    batches = _pre_batches
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(1)
     best = 0.0
     best_bs = None
     flops_per_img = None
     for bs in batches:
         try:
-            real = jnp.asarray(rng.randn(bs, 3, res, res).astype(np.float32))
-            mask = jnp.asarray(
-                (rng.rand(bs, 1, res, res) > 0.5).astype(np.float32))
-            z = jnp.asarray(rng.randn(bs, G.z_dim).astype(np.float32))
+            if bs in _pre:  # uploaded before the first executable ran
+                real, mask, z = _pre[bs]
+            else:
+                real = jnp.asarray(
+                    rng.randn(bs, 3, res, res).astype(np.float32))
+                mask = jnp.asarray(
+                    (rng.rand(bs, 1, res, res) > 0.5).astype(np.float32))
+                z = jnp.asarray(rng.randn(bs, G.z_dim).astype(np.float32))
             key = jax.random.key(1, impl=os.environ.get("BENCH_RNG") or None)
             k0 = jax.random.fold_in(key, 0)
             # AOT compile so the executable's own XLA cost analysis gives
@@ -471,7 +492,11 @@ def main():
                   f"{str(e)[:200]}", file=sys.stderr)
             continue
 
-    n_chips = max(jax.device_count(), 1)
+    # the jitted forward is UNSHARDED (one device): the per-chip number
+    # is the measured throughput itself — dividing by a forced-host
+    # device count (XLA_FLAGS=8 virtual CPUs) or a future multi-chip
+    # visible set would misreport it
+    n_chips = 1
     value = best / n_chips
     detail = {"batch": best_bs, "backend": jax.default_backend(),
               "chips": n_chips, "small": small}

@@ -126,9 +126,19 @@ def main():
                   f"[{args.experiment}] (a NEW run; omit --experiment to "
                   "reconstruct the original run from its config.yaml)")
 
-    is_eval = args.eval is not None or cfg.get("train") is None
+    # --demo promises "write the grid and exit" — it must dispatch to the
+    # eval stage even when the experiment carries a train section
+    is_eval = (args.eval is not None or args.demo
+               or cfg.get("train") is None)
     if is_eval:
         cfg.pop("train", None)
+        if cfg.get("eval") is None:
+            raise SystemExit(
+                f"experiment [{args.experiment}] has no eval section to "
+                "run (note --trainonly drops it; this run has no train "
+                "section either)" if args.trainonly else
+                f"experiment [{args.experiment}] has no eval section — "
+                "cannot run eval-mode flags (--eval/--demo) against it")
         if args.eval is not None:
             cfg["eval"]["experiment_id"] = args.eval
     if args.seed is not None:
@@ -141,6 +151,13 @@ def main():
         cfg = apply_debug_shrink(cfg)
     if args.ckpt is not None and args.pretrained is None:
         args.pretrained = args.ckpt
+    for flag, val in (("--pretrained", args.pretrained),
+                      ("--eval_tag", args.eval_tag),
+                      ("--evalnog_path", args.evalnog_path)):
+        if val is not None and cfg.get("eval") is None:
+            raise SystemExit(f"{flag} requires an eval section, but this "
+                             "run has none (train-only experiment or "
+                             "--trainonly)")
     if args.pretrained is not None:
         cfg["eval"]["pretrained_pth"] = args.pretrained
     if args.eval_tag is not None:
@@ -173,7 +190,7 @@ def main():
     # (cfg_helper.py:524-564)
     section = "eval" if is_eval else "train"
     expid = cfg[section].get("experiment_id")
-    if not expid:
+    if expid is None:  # 0 is a legitimate id (--eval 0)
         expid = int(time.time() * 100)
         if proc_n > 1:
             # every process must derive the SAME run identity (log_dir

@@ -472,6 +472,13 @@ class eval_stage:
         pid, pcount = jax.process_index(), jax.process_count()
         per = -(-n_batches // pcount)
         my_batches = list(range(pid * per, min((pid + 1) * per, n_batches)))
+        # a process with NO batches must still participate in the gather
+        # collectives (sync pairs by non-empty banks across processes):
+        # re-score batch 0 fully masked out — zero rows contributed, the
+        # collective pairing stays alive
+        dummy = pcount > 1 and not my_batches
+        if dummy:
+            my_batches = [0]
 
         def make_batch(j):
             b = my_batches[j]
@@ -488,7 +495,8 @@ class eval_stage:
             evaluator.add_batch(
                 pred=gen, gt=real,
                 fake=gen * 255.0, real=real * 255.0,
-                fn=uids, valid=None)
+                fn=uids,
+                valid=np.zeros(len(uids), bool) if dummy else None)
             if idx % log_display == log_display - 1:
                 print_log("processed.. {}, Time:{:.2f}s".format(
                     idx + 1, timeit.default_timer() - t0))

@@ -41,6 +41,14 @@ def main():
                    help="tiny batch + synthetic-data fallback")
     args = p.parse_args()
 
+    import os
+    import jax
+    # persistent compile cache: serving-engine compiles through the
+    # remote helper are multi-minute, ~30 ms cached (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     from shgan_tpu.runtime.config import (experiment_cfg_bank,
                                           apply_debug_shrink)
     from shgan_tpu.runtime.logging import print_log

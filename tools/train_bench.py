@@ -10,6 +10,7 @@ images/sec.  Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
 import sys
 import time
@@ -36,6 +37,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: full-model train-step compiles are
+    # 15-25 min through the remote helper, ~30 ms cached (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     from shgan_tpu.runtime.config import model_cfg_bank
     from shgan_tpu.models import get_model
     from shgan_tpu.train import TrainConfig, init_train_state, make_train_step
