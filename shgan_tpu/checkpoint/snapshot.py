@@ -222,3 +222,157 @@ def load_network_snapshot(path, extra_stub_prefixes=()):
         else:
             data[name] = np.asarray(val)
     return data, False
+
+
+# ---------------------------------------------------------------------------
+# legacy TF CoModGAN name remap
+# ---------------------------------------------------------------------------
+
+def _tf_conv_w(v):
+    """TF conv weight [kh, kw, in, out] → torch OIHW."""
+    return np.ascontiguousarray(np.asarray(v).transpose(3, 2, 0, 1))
+
+
+def _tf_dense_w(v):
+    """TF dense weight [in, out] → torch [out, in]."""
+    return np.ascontiguousarray(np.asarray(v).T)
+
+
+def _tf_layer_entries(tf_params, tf_scope, torch_prefix, out):
+    """Map one TF conv/modconv/dense layer scope to torch names.
+
+    Layouts: ``weight`` transposes by rank; ``mod_weight/mod_bias`` become
+    the style ``affine`` (TF folds the +1 style-bias init into runtime —
+    torch stores it in the parameter, hence the +1, cf. bias_init=1 at
+    `/root/reference/lib/model_zoo/stylegan.py:266,323`);
+    ``noise_strength`` stays scalar."""
+    hits = 0
+    for suffix, value in list(tf_params.items()):
+        if not suffix.startswith(tf_scope + "/"):
+            continue
+        leaf = suffix[len(tf_scope) + 1:]
+        if "/" in leaf:
+            continue
+        v = np.asarray(value)
+        if leaf == "weight":
+            out[f"{torch_prefix}.weight"] = (_tf_conv_w(v) if v.ndim == 4
+                                             else _tf_dense_w(v))
+        elif leaf == "bias":
+            out[f"{torch_prefix}.bias"] = v
+        elif leaf == "mod_weight":
+            out[f"{torch_prefix}.affine.weight"] = _tf_dense_w(v)
+        elif leaf == "mod_bias":
+            out[f"{torch_prefix}.affine.bias"] = v + 1.0
+        elif leaf == "noise_strength":
+            out[f"{torch_prefix}.noise_strength"] = v.reshape(())
+        else:
+            continue
+        hits += 1
+    return hits
+
+
+def tf_params_to_torch_state_dict(tf_params):
+    """Translate collected legacy-TF CoModGAN generator variables
+    (``{tf/slash/path: array}`` from :func:`load_network_snapshot`) into
+    reference-torch state_dict names, ready for
+    ``torch_state_dict_to_params`` + a non-strict merge (warm start).
+
+    The reference carries the legacy unpickler but no name remap
+    (`stylegan_default.py:591-626` — its TF path dead-ends in
+    ``copy_params_and_buffers`` with slash names); this table closes that.
+    Scope layout follows the public co-mod-gan TF release (StyleGAN2 TF
+    conventions): ``mapping/Dense{i}``, ``dlatent_avg``,
+    ``synthesis/{r}x{r}/{Conv0_up,Conv1,ToRGB}``, ``synthesis/4x4/
+    {Const,Dense0,Conv}``, ``synthesis/noise{i}``, and encoder scopes
+    ``[synthesis/]E_{r}x{r}/{FromRGB,Conv0,Conv1_down}`` +
+    ``E_4x4/{Conv,Dense0,Dense1}``.  SHU parameters do not exist in TF
+    pickles (SH-GAN was torch-native) — they stay at init under the
+    non-strict merge.
+
+    Returns ``(state_dict, unmatched_tf_keys)``.
+    """
+    import re
+
+    out = {}
+    consumed_scopes = set()
+
+    def layer(tf_scope, torch_prefix):
+        if _tf_layer_entries(tf_params, tf_scope, torch_prefix, out):
+            consumed_scopes.add(tf_scope)
+
+    # mapping network + w_avg
+    for key in tf_params:
+        m = re.fullmatch(r"(?:mapping/)?Dense(\d+)/weight", key)
+        if m:
+            scope = key[:-len("/weight")]
+            layer(scope, f"mapping.fc{m.group(1)}")
+    if "dlatent_avg" in tf_params:
+        out["mapping.w_avg"] = np.asarray(tf_params["dlatent_avg"])
+        consumed_scopes.add("dlatent_avg")
+
+    # synthesis pyramid
+    syn = "synthesis/"
+    resolutions = sorted({
+        int(m.group(1)) for k in tf_params
+        for m in [re.match(r"synthesis/(\d+)x\1/", k)] if m})
+    for r in resolutions:
+        sc = f"{syn}{r}x{r}"
+        if r == 4:
+            const = tf_params.get(f"{sc}/Const/const")
+            if const is not None:
+                c = np.asarray(const)
+                out["synthesis.b4.const"] = c[0] if (c.ndim == 4
+                                                     and c.shape[0] == 1) \
+                    else c
+                consumed_scopes.add(f"{sc}/Const")
+            layer(f"{sc}/Dense0", "synthesis.b4.fc")
+            layer(f"{sc}/Conv", "synthesis.b4.conv")
+        else:
+            layer(f"{sc}/Conv0_up", f"synthesis.b{r}.conv0")
+            layer(f"{sc}/Conv1", f"synthesis.b{r}.conv1")
+        layer(f"{sc}/ToRGB", f"synthesis.b{r}.torgb")
+
+    # per-layer noise buffers: noise0 → b4.conv, then (conv0, conv1) per
+    # doubling resolution (the torch modules register them as noise_const,
+    # stylegan.py:270)
+    for key in list(tf_params):
+        m = re.fullmatch(r"(?:synthesis/)?noise(\d+)", key)
+        if not m:
+            continue
+        i = int(m.group(1))
+        v = np.asarray(tf_params[key])
+        v = v.reshape(v.shape[-2:])
+        if i == 0:
+            name = "synthesis.b4.conv.noise_const"
+        else:
+            r = 4 * (2 ** ((i + 1) // 2))
+            name = f"synthesis.b{r}.conv{(i + 1) % 2}.noise_const"
+        out[name] = v
+        consumed_scopes.add(key)
+
+    # encoder pyramid (co-mod-gan keeps E_* inside G_synthesis; accept a
+    # separate component prefix too)
+    for key in list(tf_params):
+        m = re.match(r"(?:synthesis/)?(E_(\d+)x\2)/", key)
+        if not m:
+            continue
+        sc, r = key[:key.index(m.group(1)) + len(m.group(1))], int(m.group(2))
+        if r == 4:
+            layer(f"{sc}/Conv", "encoder.b4.conv")
+            layer(f"{sc}/Dense0", "encoder.b4.fc")
+            layer(f"{sc}/Dense1", "encoder.b4.out")
+        else:
+            layer(f"{sc}/FromRGB", f"encoder.b{r}.fromrgb")
+            layer(f"{sc}/Conv0", f"encoder.b{r}.conv0")
+            layer(f"{sc}/Conv1_down", f"encoder.b{r}.conv1")
+
+    matched_keys = set()
+    for sc in consumed_scopes:
+        for k in tf_params:
+            if k == sc or k.startswith(sc + "/"):
+                matched_keys.add(k)
+    # resample filters / lod counters etc. are trace-time constants here
+    unmatched = sorted(k for k in tf_params if k not in matched_keys
+                       and not k.endswith("resample_kernel")
+                       and k.rsplit("/", 1)[-1] != "lod")
+    return out, unmatched

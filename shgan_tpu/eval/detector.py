@@ -17,8 +17,10 @@ Weights resolution matches the reference detector contract
 
 from __future__ import annotations
 
+import functools
 import os
 import os.path as osp
+import sys
 
 import numpy as np
 import jax
@@ -27,6 +29,40 @@ from .inception import (inception_features, inception_features_and_probs,
                         inception_probs_from_features, load_inception_params)
 
 _MEMO_SLOTS = 4  # fake + real per batch, with headroom for pregen paths
+
+
+def _tree_platform(tree):
+    """Platform ('tpu'/'cpu'/…) of the first jax array leaf, else None."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array):
+            try:
+                return next(iter(leaf.devices())).platform
+            except Exception:
+                return None
+    return None
+
+
+def _guard_placement(params):
+    """Heal params committed to a non-default backend.
+
+    Regression guard: round-3 shipped detector params COMMITTED to the
+    host cpu backend (built under ``jax.default_device(cpu)``), which
+    silently moved every jitted Inception forward off the accelerator —
+    a ~70× slowdown of the production eval path (BENCH_r03
+    ``e2e_img_s`` 293→4.3).  Cross-platform params can never be what the
+    caller wants: re-place them on the default backend (as uncommitted
+    arrays, so multi-device jits keep their freedom) and say so loudly."""
+    plat = _tree_platform(params)
+    default = jax.default_backend()
+    if plat is None or plat == default:
+        return params
+    print(f"# InceptionDetector: params were on [{plat}] but the default "
+          f"backend is [{default}] — re-placing (build them on the "
+          "default backend to avoid this transfer)", file=sys.stderr)
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda v: jnp.asarray(np.asarray(v)) if isinstance(v, jax.Array)
+        else v, params)
 
 
 class InceptionDetector:
@@ -38,11 +74,18 @@ class InceptionDetector:
     ``real_dev`` views) are not pinned in HBM between batches.  Arrays
     that don't support weakrefs are held strongly (small test inputs)."""
 
-    def __init__(self, params):
+    def __init__(self, params, resize_policy=None):
+        params = _guard_placement(params)
         self.params = params
         self.has_probs = "fc" in params
-        self._feat = jax.jit(inception_features)
-        self._feat_probs = jax.jit(inception_features_and_probs)
+        # 'ts' (default): the reference TorchScript detector's internal
+        # TF-style resize — absolute-FID comparable; 'bilinear' emulates
+        # pytorch-fid (see inception._resize_299)
+        self.resize_policy = resolve_resize_policy(resize_policy)
+        self._feat = jax.jit(functools.partial(
+            inception_features, resize_policy=self.resize_policy))
+        self._feat_probs = jax.jit(functools.partial(
+            inception_features_and_probs, resize_policy=self.resize_policy))
         self._head = jax.jit(inception_probs_from_features)
         self._memo = []  # [(ref_or_array, is_weak, feat, probs_or_None)]
 
@@ -114,17 +157,26 @@ _BY_ID = {}
 _BY_ID_MAX = 2
 
 
-def get_detector(detector_weights=None, detector_params=None):
+def resolve_resize_policy(resize_policy=None):
+    """None → ``SHGAN_TPU_FID_RESIZE`` env override, else 'ts' (the
+    reference detector's own behavior)."""
+    return (resize_policy or os.environ.get("SHGAN_TPU_FID_RESIZE")
+            or "ts")
+
+
+def get_detector(detector_weights=None, detector_params=None,
+                 resize_policy=None):
     """Resolve (and cache) the shared detector.
 
     Priority: explicit ``detector_params`` (shared per injected tree,
     small LRU — compose members reuse one instance), then
     ``detector_weights`` path, then ``SHGAN_TPU_INCEPTION``.
     """
+    resize_policy = resolve_resize_policy(resize_policy)
     if detector_params is not None:
-        key = id(detector_params)
+        key = (id(detector_params), resize_policy)
         if key not in _BY_ID:
-            _BY_ID[key] = InceptionDetector(detector_params)
+            _BY_ID[key] = InceptionDetector(detector_params, resize_policy)
             while len(_BY_ID) > _BY_ID_MAX:
                 # evict oldest; the cached detector holds its params, so
                 # live ids can't be recycled onto stale entries
@@ -136,7 +188,8 @@ def get_detector(detector_weights=None, detector_params=None):
             "Inception detector weights required: pass detector_weights=, "
             "detector_params=, or set SHGAN_TPU_INCEPTION to a pytorch-fid "
             "pt_inception .pth")
-    path = osp.abspath(path)
-    if path not in _BY_PATH:
-        _BY_PATH[path] = InceptionDetector(load_inception_params(path))
-    return _BY_PATH[path]
+    key = (osp.abspath(path), resize_policy)
+    if key not in _BY_PATH:
+        _BY_PATH[key] = InceptionDetector(load_inception_params(key[0]),
+                                          resize_policy)
+    return _BY_PATH[key]

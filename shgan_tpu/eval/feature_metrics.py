@@ -37,7 +37,8 @@ class FeatureBankEvaluator(BaseEvaluator):
 
     def __init__(self, device=None, sample_real_n=None, sample_fake_n=None,
                  dsstat_cachefile_tag=None, detector_weights=None,
-                 cache_dir=".cache", detector_params=None, **_):
+                 cache_dir=".cache", detector_params=None,
+                 resize_policy=None, **_):
         super().__init__()
         del device  # the reference's cuda/cpu switch; JAX places for us
         self.sample_real_n = sample_real_n
@@ -59,7 +60,12 @@ class FeatureBankEvaluator(BaseEvaluator):
                 self.dsstat_use_cache = False
             else:
                 self.dsstat_use_cache = osp.isfile(self.dsstat_cache_file)
-        self.detector = get_detector(detector_weights, detector_params)
+        # NOTE: cached real features depend on the detector's resize
+        # policy — reuse a <tag>_real_feat.npy only with the policy that
+        # wrote it (reference caches were written by the TS detector,
+        # i.e. policy 'ts', the default here)
+        self.detector = get_detector(detector_weights, detector_params,
+                                     resize_policy)
 
     def add_batch(self, fake, real, valid=None, fake_dev=None, real_dev=None,
                   **_):

@@ -154,23 +154,60 @@ _MIXED = [
 ]
 
 
-def _resize_299(x):
-    """Bilinear resize to the detector's 299² input, antialias=False: the
-    reference detector downsamples with a plain (non-antialiased) bilinear
-    F.interpolate (pytorch-fid pt_inception).  jax's default
-    antialias=True diverges by >130 intensity units per pixel for
-    512²→299 inputs (measured r3; upsampled ≤299 inputs are unaffected,
-    which is why 256² fixtures never catch it) — production-resolution
-    FID would not be reference-comparable."""
-    return jax.image.resize(x, (x.shape[0], 3, 299, 299),
-                            method="bilinear", antialias=False)
+def _ts_resize_matrix(out_size, in_size):
+    """1-D interpolation matrix [out, in] of the TF-style asymmetric
+    bilinear resize: source coordinate ``s = i * in/out`` (NOT half-pixel
+    centers), edge-clamped.  This is what the reference's TorchScript
+    detector computes internally — its scripted forward resizes via
+    ``affine_grid``/``grid_sample(align_corners=False, padding='border')``
+    with ``theta[d, 2] += 1/in - 1/299``, which algebraically reduces to
+    exactly ``s = i * in/299`` (TF1 ``resize_bilinear`` semantics, the
+    graph `eva_fid.py:21` was ported from)."""
+    m = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        s = i * in_size / out_size
+        i0 = min(int(np.floor(s)), in_size - 1)
+        i1 = min(i0 + 1, in_size - 1)
+        w = np.float32(s - np.floor(s))
+        m[i, i0] += 1.0 - w
+        m[i, i1] += w
+    return m
 
 
-def inception_features(params, x_uint8):
+def _resize_299(x, policy="ts"):
+    """Resize to the detector's 299² input.
+
+    ``policy="ts"`` (default): the TF-style asymmetric bilinear the
+    reference's TorchScript ``inception-2015-12-05`` performs internally
+    (`eva_fid.py:21,206-212`) — the policy that makes absolute FID (and
+    real-feature caches) comparable with the reference.  Applied as two
+    static matmuls (separable 1-D kernels), MXU-friendly.
+
+    ``policy="bilinear"``: half-pixel-centered bilinear, antialias=False —
+    pytorch-fid's ``F.interpolate`` behavior (its pt_inception wrapper).
+    jax's default antialias=True diverges by >130 intensity units per
+    pixel for 512²→299 inputs (measured r3; upsampled ≤299 inputs are
+    unaffected, which is why 256² fixtures never catch it)."""
+    if policy == "ts":
+        if x.shape[2] == 299 and x.shape[3] == 299:
+            return x  # s = i exactly: the resize is the identity
+        rh = jnp.asarray(_ts_resize_matrix(299, x.shape[2]))
+        rw = jnp.asarray(_ts_resize_matrix(299, x.shape[3]))
+        y = jnp.einsum("nchw,oh->ncow", x, rh)
+        return jnp.einsum("ncow,pw->ncop", y, rw)
+    if policy == "bilinear":
+        return jax.image.resize(x, (x.shape[0], 3, 299, 299),
+                                method="bilinear", antialias=False)
+    raise ValueError(f"unknown resize_policy [{policy}] "
+                     "(expected 'ts' or 'bilinear')")
+
+
+def inception_features(params, x_uint8, resize_policy="ts"):
     """uint8-valued [N, 3, H, W] (0..255, float or uint8) → [N, 2048]
     pool features, matching the reference detector's input contract
-    (`eva_fid.py:206-212`: composited uint8 images)."""
-    x = _resize_299(x_uint8.astype(jnp.float32))
+    (`eva_fid.py:206-212`: composited uint8 images).  ``resize_policy``
+    (static): see :func:`_resize_299`."""
+    x = _resize_299(x_uint8.astype(jnp.float32), resize_policy)
     x = x / 127.5 - 1.0
     for name, kw in _STEM:
         if kw is None:
@@ -183,7 +220,7 @@ def inception_features(params, x_uint8):
     return x
 
 
-def inception_features_and_probs(params, x_uint8):
+def inception_features_and_probs(params, x_uint8, resize_policy="ts"):
     """Like :func:`inception_features`, but also returns the 1008-way
     softmax class probabilities from the classifier head (the reference's
     IS input — `inception_score.py:27-29` consumes detector ``softmax``
@@ -193,7 +230,7 @@ def inception_features_and_probs(params, x_uint8):
     The fc BIAS is deliberately not applied: the reference scores IS with
     ``detector_kwargs = dict(no_output_bias=True)`` "to match the original
     implementation" (`inception_score.py:20`)."""
-    feat = inception_features(params, x_uint8)
+    feat = inception_features(params, x_uint8, resize_policy)
     return feat, inception_probs_from_features(params, feat)
 
 

@@ -46,12 +46,16 @@ def build_generator(cfg_model, pretrained_pth=None, strict=True, seed=0,
             raise FileNotFoundError(pretrained_pth)
         if pretrained_pth.endswith(".pkl"):
             data, is_tf = load_network_snapshot(pretrained_pth)
-            if is_tf:
-                raise NotImplementedError(
-                    "legacy TensorFlow pickles carry tf-slash variable "
-                    "names; the reference ships no remap either "
-                    "(stylegan_default.py:591-626)")
             sd = data[snapshot_key]
+            if is_tf:
+                # legacy TF CoModGAN warm start: tf-slash → torch-dot
+                # names (the reference ships the unpickler but no remap,
+                # stylegan_default.py:591-626 — its TF path dead-ends)
+                from ..checkpoint import tf_params_to_torch_state_dict
+                sd, unmatched = tf_params_to_torch_state_dict(sd)
+                if unmatched:
+                    print_log(f"TF pickle: {len(unmatched)} unmatched "
+                              f"variables (first: {unmatched[:4]})")
             loaded = torch_state_dict_to_params(sd)
             params = _merge_params(params, loaded, strict=False)
         else:
@@ -129,7 +133,17 @@ def draw_demo_grid(G, params, dataset, formatter, log_dir, z_dim,
     x = np.concatenate([mask - 0.5, erased], axis=1)
     z = rng.randn(n, z_dim).astype(np.float32)
 
-    fwd = jax.jit(lambda p, x, z: G(p, x, z, noise_mode="const"))
+    # memoize the jitted demo forward ON the model: the training loop
+    # draws a grid every image-snapshot tick, and a fresh jit wrapper per
+    # call would retrace (and re-compile, 15-25 min per full-size TPU
+    # compile through the remote helper) every time
+    fwd = getattr(G, "_demo_fwd", None)
+    if fwd is None:
+        fwd = jax.jit(lambda p, x, z: G(p, x, z, noise_mode="const"))
+        try:
+            G._demo_fwd = fwd
+        except AttributeError:
+            pass
     fakes = []
     for i in range(0, n, batch):
         fakes.append(np.asarray(fwd(params, jnp.asarray(x[i:i + batch]),
@@ -566,6 +580,10 @@ class train_stage:
         total_kimg = cfgt.get("total_kimg", 25000)
         kimg_per_tick = cfgt.get("kimg_per_tick", 4)
         snapshot_ticks = cfgt.get("snapshot_ticks", 50)
+        # per-tick image grids of G_ema (the reference's fakes{kimg}.png
+        # train-time snapshots, stylegan_default.py:402-534); 0/None
+        # disables
+        image_ticks = cfgt.get("image_snapshot_ticks", snapshot_ticks)
         cur_nimg, cur_tick, tick_start = 0, 0, 0
 
         resume_path = cfgt.get("resume_path")
@@ -613,6 +631,12 @@ class train_stage:
         if eval_every:
             step_n = eval_every * 1000
             next_eval = (cur_nimg // step_n + 1) * step_n
+
+        if image_ticks:
+            # initial grid: reals/masks/erased + the untrained (or
+            # resumed) G_ema output — the reference's fakes_init.png
+            self.draw_train_grid(G, state, dataset, formatter, log_dir,
+                                 "fakes_init.png")
 
         key = jax.random.key(seed + 1)
         it = iter(pipe)
@@ -678,9 +702,31 @@ class train_stage:
                         print_log(f"new best {name}={value:.4f}")
                 if cur_tick % snapshot_ticks == 0:
                     self.save_snapshot(state, log_dir, cur_nimg)
+                if image_ticks and cur_tick % image_ticks == 0:
+                    self.draw_train_grid(
+                        G, state, dataset, formatter, log_dir,
+                        "fakes{:06d}.png".format(cur_nimg // 1000))
         logger.close()
         self.save_snapshot(state, log_dir, cur_nimg)
+        if image_ticks:
+            self.draw_train_grid(G, state, dataset, formatter, log_dir,
+                                 "fakes{:06d}.png".format(cur_nimg // 1000))
         return {"state": state}
+
+    @staticmethod
+    def draw_train_grid(G, state, dataset, formatter, log_dir, filename):
+        """Lead-only G_ema demo grid during training (the reference writes
+        fakes{kimg}.png per image-snapshot tick, stylegan_default.py:
+        402-534).  The jitted demo forward is memoized on ``G``, so only
+        the first call compiles."""
+        if not is_lead():
+            return
+        params = state["params_gema"]
+        if jax.process_count() > 1:
+            # host copy keeps the demo jit process-local (no collectives)
+            params = jax.device_get(params)
+        draw_demo_grid(G, params, dataset, formatter, log_dir, G.z_dim,
+                       subfolder="demo", filename=filename)
 
     @staticmethod
     def save_snapshot(state, log_dir, cur_nimg, tag=None):
@@ -700,8 +746,13 @@ class train_stage:
     @staticmethod
     def _make_nested_eval(cfg, cfge, G, mesh):
         """Build a G_ema → (metric_name, value, higher_better) functor over
-        a small eval subset (weight-free metrics only — the in-train eval of
-        the reference's generic trainer)."""
+        a small eval subset — the in-train eval of the reference's generic
+        trainer (utils.py:39-221) plus the metric suite the reference's
+        train tick runs (stylegan_default.py:402-534).  Supports the
+        weight-free per-batch metrics (psnr/ssim) and detector-backed
+        ``fid`` (with the cached-real-features protocol over the fixed
+        nested subset); fid degrades to psnr when detector weights are
+        absent so asset-free smoke runs keep training."""
         cfgv = copy.deepcopy(cfg["eval"])
         samples = cfgv.get("nested_eval_samples", 64)
         if cfgv.get("dataset") is not None:
@@ -715,18 +766,40 @@ class train_stage:
             cfgv.get("batch_size_per_gpu", 4) * mesh.devices.size)
         pipe = EvalPipeline(dataset, formatter, batch_size, mesh=mesh)
         metric = cfgv.get("nested_eval_metric", "psnr")
-        # weight-free per-batch scalar metrics only (the docstring's
-        # contract): detector-backed metrics ('is', 'pr', fid…) need
-        # assets and return dicts — fail at build time, not at the first
+        # scalar metrics only: 'is'/'pr' return dicts and PPL needs the
+        # generator in the loop — fail at build time, not at the first
         # eval tick after a multi-minute compile
-        supported = ("psnr", "ssim")
+        supported = ("psnr", "ssim", "fid")
         if metric not in supported:
             raise ValueError(
                 f"nested_eval_metric [{metric}] unsupported — the in-train"
-                f" nested eval runs weight-free per-batch metrics only "
+                f" nested eval runs scalar metrics only "
                 f"{supported}; run the full evaluator compose via the eval"
                 " stage instead")
-        higher_better = True  # psnr and ssim are both higher-better
+        fid_args = None
+        if metric == "fid":
+            # detector config from the eval stack's own fid entry (weights
+            # path / injected params / resize policy), with a run-local
+            # real-feature cache: the nested subset is FIXED, so real
+            # features are computed once at the first eval tick and read
+            # from <log_dir>/.cache afterwards (eva_fid.py:177-187
+            # protocol)
+            fid_args = {}
+            for e in cfgv.get("evaluator") or []:
+                if isinstance(e, dict) and e.get("type") == "fid":
+                    fid_args = dict(e.get("args") or {})
+            fid_args["sample_real_n"] = None
+            fid_args["sample_fake_n"] = None
+            fid_args["dsstat_cachefile_tag"] = f"nested{samples}"
+            fid_args["cache_dir"] = osp.join(
+                cfg["train"].get("log_dir") or "log/train", ".cache")
+            try:
+                get_evaluator([{"type": "fid", "args": fid_args}])
+            except FileNotFoundError as e:
+                print_log(f"nested eval: fid detector unavailable ({e}) — "
+                          "falling back to psnr")
+                metric, fid_args = "psnr", None
+        higher_better = metric != "fid"  # psnr/ssim up, fid down
         seed = cfge.get("rnd_seed", 0) or 0
 
         @jax.jit
@@ -738,7 +811,11 @@ class train_stage:
             return jnp.clip(combined * 127.5 + 127.5, 0, 255)
 
         def run(params_gema):
-            evaluator = get_evaluator([{"type": metric}])
+            if fid_args is not None:
+                evaluator = get_evaluator([{"type": "fid",
+                                            "args": fid_args}])
+            else:
+                evaluator = get_evaluator([{"type": metric}])
             key = jax.random.key(seed + 12345)
             for real, mask, valid, uids in pipe:
                 key, kz, kn = jax.random.split(key, 3)
@@ -746,6 +823,10 @@ class train_stage:
                                                  (real.shape[0], G.z_dim)))
                 fake = local_rows(fwd(params_gema, real, mask, z,
                                       np.asarray(jax.random.key_data(kn))))
+                if fid_args is not None:
+                    # the scored image is uint8-quantized in the protocol
+                    # (shgan_default.py:257-262)
+                    fake = np.rint(fake)
                 real_np = local_rows(real)
                 evaluator.add_batch(pred=fake / 255.0,
                                     gt=(real_np + 1) / 2,

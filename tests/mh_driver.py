@@ -1,18 +1,26 @@
 """Subprocess driver for the multi-process eval integration test.
 
-Usage: python mh_driver.py <pid> <nproc> <port> <out_dir>
+Usage: python mh_driver.py <pid> <nproc> <port> <out_dir> [mode]
 
-Runs the REAL eval_stage on a tiny SH-GAN generator over a synthetic
-dataset, with ``nproc`` JAX processes each holding 2 virtual CPU devices.
-The pytest in test_multihost.py asserts the 2-process result matches the
-1-process result (per-sample data RNG + shared key streams make the runs
-arithmetically identical up to the float32 gather transport)."""
+mode "eval" (default): runs the REAL eval_stage on a tiny SH-GAN generator
+over a synthetic dataset, with ``nproc`` JAX processes each holding 2
+virtual CPU devices.  The pytest in test_multihost.py asserts the
+2-process result matches the 1-process result (per-sample data RNG +
+shared key streams make the runs arithmetically identical up to the
+float32 gather transport).
+
+mode "train": runs the REAL train_stage across the processes, crossing
+snapshot ticks (every process must enter the orbax save — the round-2
+HIGH advisor scenario), then RESUMES from the written snapshot and trains
+further (exercising load_checkpoint + check_replicated under
+process_count > 1)."""
 
 import os
 import sys
 
 pid, nproc, port, out_dir = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
+mode = sys.argv[5] if len(sys.argv) > 5 else "eval"
 
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -36,6 +44,72 @@ from shgan_tpu.runtime.stages import eval_stage  # noqa: E402
 
 ACT = "lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)"
 RES = 64
+
+if mode == "train":
+    from shgan_tpu.runtime.stages import train_stage
+
+    TRES = 32
+    TENC = dict(resolution=TRES, ic_n=4, oc_n=16, ch_base=128, ch_max=8,
+                use_fp16_before_res=None, activation=ACT,
+                mbstd_group_size=0, mbstd_c_n=0, c_dim=None, cmap_dim=None,
+                use_dropout=True, has_extra_final_layer=False,
+                shu_input_res=8, shu_lowest_res=4, shu_channels=4,
+                shu_df_freedom=[2, 3], shu_df_type="piecewise_linear",
+                shu_tail_sigma_mult=3, shu_gaussian_at_input_res=False)
+
+    def train_cfg(total_kimg, resume_path=None):
+        return {
+            "env": {"rnd_seed": 0},
+            "model_g": {"type": "comodgan_generator", "args": {
+                "mapping": {"type": "comodgan_mapping",
+                            "args": dict(z_dim=16, c_dim=0, w_dim=16,
+                                         num_ws=8, num_layers=2,
+                                         activation=ACT,
+                                         lr_multiplier=0.01)},
+                "encoder": {"type": "shgan_encoder", "args": TENC},
+                "synthesis": {"type": "comodgan_synthesis",
+                              "args": dict(w_dim=16, w0_dim=16,
+                                           resolution=TRES, rgb_n=3,
+                                           ch_base=128, ch_max=8,
+                                           use_fp16_after_res=None,
+                                           activation=ACT)}}},
+            "model_d": {"type": "comodgan_discriminator",
+                        "args": dict(resolution=TRES, ic_n=4, ch_base=128,
+                                     ch_max=8, use_fp16_before_res=None,
+                                     activation=ACT)},
+            "train": {
+                "log_dir": out_dir,
+                "batch_size": 8,        # 2 per device on the 2×2 layout
+                "total_kimg": total_kimg,
+                "kimg_per_tick": 0.008,  # tick every step
+                "snapshot_ticks": 1,     # orbax save EVERY tick (the r2
+                # HIGH scenario: all processes must reach the barriers)
+                "image_snapshot_ticks": 1,  # lead-only demo grids
+                "resume_path": resume_path,
+                "dataset": {"type": "synthetic",
+                            "resolution": TRES, "length": 16,
+                            "formatter": {
+                                "type": "RandomMaskFormatter",
+                                "args": {"mask_resolution": TRES,
+                                         "random_flip": False}}},
+            },
+        }
+
+    rv = train_stage()(train_cfg(total_kimg=0.024))  # 3 steps, 3 ticks
+    assert int(rv["state"]["step"]) == 3, rv["state"]["step"]
+    snap = os.path.join(out_dir, "weight", "network-snapshot-000000")
+    assert os.path.isdir(snap), os.listdir(os.path.join(out_dir, "weight"))
+    print("MH_TRAIN_SNAPSHOT_OK", pid, flush=True)
+
+    # resume from the snapshot and cross another tick (load_checkpoint +
+    # check_replicated + a further save, all under process_count > 1)
+    rv2 = train_stage()(train_cfg(total_kimg=0.04, resume_path=snap))
+    assert int(rv2["state"]["step"]) > 3, rv2["state"]["step"]
+    if pid == 0:
+        demo = os.listdir(os.path.join(out_dir, "demo"))
+        assert "fakes_init.png" in demo, demo
+    print("MH_TRAIN_RESUME_OK", pid, flush=True)
+    sys.exit(0)
 
 ENC = {"type": "shgan_encoder", "args": dict(
     resolution=RES, ic_n=4, oc_n=32, ch_base=256, ch_max=8,

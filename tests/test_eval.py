@@ -7,6 +7,7 @@ import os
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from shgan_tpu.eval import (get_evaluator, PSNREvaluator, SSIMEvaluator,
                             compute_ssim, FIDEvaluator, frechet_distance,
@@ -98,7 +99,7 @@ def test_inception_resize_matches_torch_downsample():
         x = rng.rand(2, 3, res, res).astype(np.float32) * 255
         want = F.interpolate(torch.from_numpy(x), size=(299, 299),
                              mode="bilinear", align_corners=False).numpy()
-        got = np.asarray(_resize_299(x))
+        got = np.asarray(_resize_299(x, "bilinear"))
         assert np.abs(got - want).max() < 1e-3, res
 
 
@@ -192,6 +193,24 @@ def test_feature_stats_biased_cov():
 @pytest.fixture(scope="module")
 def inception_params():
     return random_inception_params(jax.random.key(0))
+
+
+def test_detector_placement_guard(monkeypatch):
+    """Params committed to a non-default backend are re-placed (the r3
+    production-path regression: cpu-committed detector params silently
+    moved the jitted Inception forward off the accelerator)."""
+    from shgan_tpu.eval import detector as det_mod
+    tree = {"a": {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}, "n": 3}
+    # matching platform → identity (no transfer, no copy)
+    same = det_mod._guard_placement(tree)
+    assert same["a"]["w"] is tree["a"]["w"]
+    # simulate a foreign default backend → every jax leaf re-placed
+    monkeypatch.setattr(det_mod.jax, "default_backend", lambda: "nonsuch")
+    healed = det_mod._guard_placement(tree)
+    assert healed["a"]["w"] is not tree["a"]["w"]
+    np.testing.assert_array_equal(np.asarray(healed["a"]["w"]),
+                                  np.asarray(tree["a"]["w"]))
+    assert healed["n"] == 3
 
 
 @pytest.mark.slow

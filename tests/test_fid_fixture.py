@@ -48,28 +48,37 @@ def test_fixture_pins_jax_port():
     params = load_inception_params(wpath)
     for r in [int(v) for v in np.atleast_1d(fx["res"])]:
         x = fixed_batch(int(fx["n"]), r)
-        feat, probs = inception_features_and_probs(
-            params, jnp.asarray(x.astype(np.float32)))
-        np.testing.assert_allclose(np.asarray(feat, np.float32),
-                                   fx[f"feat_jax_{r}"], rtol=0, atol=1e-3)
-        np.testing.assert_allclose(np.asarray(probs, np.float32),
-                                   fx[f"probs_jax_{r}"], rtol=0, atol=1e-4)
-        # port parity vs the torch oracle recorded at emit time
-        d = np.abs(np.asarray(feat, np.float64)
-                   - fx[f"feat_pth_{r}"].astype(np.float64))
-        assert d.max() <= 2e-3, (r, d.max())
+        for policy in ("ts", "bilinear"):
+            feat, probs = inception_features_and_probs(
+                params, jnp.asarray(x.astype(np.float32)),
+                resize_policy=policy)
+            np.testing.assert_allclose(
+                np.asarray(feat, np.float32),
+                fx[f"feat_jax_{policy}_{r}"], rtol=0, atol=1e-3)
+            if policy == "ts":
+                np.testing.assert_allclose(
+                    np.asarray(probs, np.float32),
+                    fx[f"probs_jax_{r}"], rtol=0, atol=1e-4)
+            # port parity vs the torch oracle recorded at emit time
+            d = np.abs(np.asarray(feat, np.float64)
+                       - fx[f"feat_pth_{policy}_{r}"].astype(np.float64))
+            assert d.max() <= 2e-3, (r, policy, d.max())
 
 
 def test_fixture_records_reference_detector_when_emitted_with_ts():
     """If the fixture was emitted with the NVIDIA TorchScript detector
-    available, the JAX features must match IT at 299² (no resize in either
-    graph) — the strongest parity statement the repo can pin."""
+    available, the JAX 'ts'-policy features must match IT at every
+    recorded resolution (the resize gap is closed) — the strongest parity
+    statement the repo can pin."""
     fx = _fixture()
     if "feat_ts_299" not in fx:
         pytest.skip("fixture emitted without the TorchScript detector")
-    d = np.abs(fx["feat_jax_299"].astype(np.float64)
-               - fx["feat_ts_299"].astype(np.float64))
-    assert d.max() <= 1e-2, d.max()
+    for r in [int(v) for v in np.atleast_1d(fx["res"])]:
+        if f"feat_ts_{r}" not in fx:
+            continue
+        d = np.abs(fx[f"feat_jax_ts_{r}"].astype(np.float64)
+                   - fx[f"feat_ts_{r}"].astype(np.float64))
+        assert d.max() <= 1e-2, (r, d.max())
 
 
 @pytest.mark.slow
@@ -99,9 +108,9 @@ def test_emit_fixture_mechanism_roundtrip(tmp_path, monkeypatch):
     params = load_inception_params(wpath)
     x = vf.fixed_batch(2, 64)
     feat, probs = inception_features_and_probs(
-        params, jnp.asarray(x.astype(np.float32)))
+        params, jnp.asarray(x.astype(np.float32)), resize_policy="ts")
     np.testing.assert_allclose(np.asarray(feat, np.float32),
-                               fx["feat_jax_64"], rtol=0, atol=1e-3)
+                               fx["feat_jax_ts_64"], rtol=0, atol=1e-3)
     d = np.abs(np.asarray(feat, np.float64)
-               - fx["feat_pth_64"].astype(np.float64))
+               - fx["feat_pth_ts_64"].astype(np.float64))
     assert d.max() <= 2e-3, d.max()

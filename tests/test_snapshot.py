@@ -217,3 +217,160 @@ def test_snapshot_refuses_dangerous_builtins(tmp_path):
     # primitives still load
     assert _load_primitive(io.BytesIO(pickle.dumps([1, "a", {2: 3}]))) \
         == [1, "a", {2: 3}]
+
+
+def test_tf_params_remap_to_torch_names():
+    """Legacy TF CoModGAN variables → reference-torch state_dict names:
+    transposes (conv HWIO→OIHW, dense [in,out]→[out,in]), mod_bias +1
+    (torch bias_init=1, stylegan.py:266), const [1,C,H,W]→[C,H,W], noise
+    index → per-layer noise_const, encoder E_* scopes, and the unmatched
+    report (checkpoint/snapshot.py tf_params_to_torch_state_dict)."""
+    from shgan_tpu.checkpoint import tf_params_to_torch_state_dict
+
+    rng = np.random.RandomState(0)
+
+    def cw(o, i, k=3):  # TF conv weight [kh, kw, in, out]
+        return rng.randn(k, k, i, o).astype(np.float32)
+
+    def dw(o, i):  # TF dense weight [in, out]
+        return rng.randn(i, o).astype(np.float32)
+
+    tf = {
+        "mapping/Dense0/weight": dw(16, 16),
+        "mapping/Dense0/bias": rng.randn(16).astype(np.float32),
+        "mapping/Dense1/weight": dw(16, 16),
+        "mapping/Dense1/bias": rng.randn(16).astype(np.float32),
+        "dlatent_avg": rng.randn(16).astype(np.float32),
+        "synthesis/4x4/Const/const": rng.randn(1, 8, 4, 4).astype(
+            np.float32),
+        "synthesis/4x4/Dense0/weight": dw(8 * 16, 16),
+        "synthesis/4x4/Dense0/bias": rng.randn(8 * 16).astype(np.float32),
+        "synthesis/4x4/Conv/weight": cw(8, 8),
+        "synthesis/4x4/Conv/bias": rng.randn(8).astype(np.float32),
+        "synthesis/4x4/Conv/mod_weight": dw(8, 32),
+        "synthesis/4x4/Conv/mod_bias": rng.randn(8).astype(np.float32),
+        "synthesis/4x4/Conv/noise_strength": np.float32(0.25),
+        "synthesis/4x4/ToRGB/weight": cw(3, 8, 1),
+        "synthesis/4x4/ToRGB/bias": rng.randn(3).astype(np.float32),
+        "synthesis/4x4/ToRGB/mod_weight": dw(8, 32),
+        "synthesis/4x4/ToRGB/mod_bias": rng.randn(8).astype(np.float32),
+        "synthesis/8x8/Conv0_up/weight": cw(8, 8),
+        "synthesis/8x8/Conv0_up/mod_weight": dw(8, 32),
+        "synthesis/8x8/Conv0_up/mod_bias": rng.randn(8).astype(np.float32),
+        "synthesis/8x8/Conv1/weight": cw(8, 8),
+        "synthesis/8x8/ToRGB/weight": cw(3, 8, 1),
+        "synthesis/noise0": rng.randn(1, 1, 4, 4).astype(np.float32),
+        "synthesis/noise1": rng.randn(1, 1, 8, 8).astype(np.float32),
+        "synthesis/noise2": rng.randn(1, 1, 8, 8).astype(np.float32),
+        "synthesis/E_8x8/FromRGB/weight": cw(8, 4, 1),
+        "synthesis/E_8x8/Conv0/weight": cw(8, 8),
+        "synthesis/E_8x8/Conv1_down/weight": cw(8, 8),
+        "synthesis/E_4x4/Conv/weight": cw(8, 8),
+        "synthesis/E_4x4/Dense0/weight": dw(16, 8 * 16),
+        "synthesis/E_4x4/Dense0/bias": rng.randn(16).astype(np.float32),
+        "synthesis/8x8/Conv0_up/resample_kernel": np.ones((4, 4),
+                                                          np.float32),
+        "lod": np.float32(0),
+        "some/unknown/thing": np.zeros(3, np.float32),
+    }
+    sd, unmatched = tf_params_to_torch_state_dict(tf)
+
+    # names + layouts
+    np.testing.assert_array_equal(sd["mapping.fc0.weight"],
+                                  tf["mapping/Dense0/weight"].T)
+    np.testing.assert_array_equal(sd["mapping.w_avg"], tf["dlatent_avg"])
+    np.testing.assert_array_equal(sd["synthesis.b4.const"],
+                                  tf["synthesis/4x4/Const/const"][0])
+    np.testing.assert_array_equal(
+        sd["synthesis.b4.conv.weight"],
+        tf["synthesis/4x4/Conv/weight"].transpose(3, 2, 0, 1))
+    np.testing.assert_array_equal(
+        sd["synthesis.b4.conv.affine.bias"],
+        tf["synthesis/4x4/Conv/mod_bias"] + 1.0)  # torch bias_init=1
+    assert sd["synthesis.b4.conv.noise_strength"].shape == ()
+    np.testing.assert_array_equal(
+        sd["synthesis.b8.conv0.weight"],
+        tf["synthesis/8x8/Conv0_up/weight"].transpose(3, 2, 0, 1))
+    np.testing.assert_array_equal(sd["synthesis.b4.conv.noise_const"],
+                                  tf["synthesis/noise0"][0, 0])
+    np.testing.assert_array_equal(sd["synthesis.b8.conv0.noise_const"],
+                                  tf["synthesis/noise1"][0, 0])
+    np.testing.assert_array_equal(sd["synthesis.b8.conv1.noise_const"],
+                                  tf["synthesis/noise2"][0, 0])
+    np.testing.assert_array_equal(
+        sd["encoder.b8.fromrgb.weight"],
+        tf["synthesis/E_8x8/FromRGB/weight"].transpose(3, 2, 0, 1))
+    np.testing.assert_array_equal(
+        sd["encoder.b8.conv1.weight"],
+        tf["synthesis/E_8x8/Conv1_down/weight"].transpose(3, 2, 0, 1))
+    np.testing.assert_array_equal(sd["encoder.b4.fc.weight"],
+                                  tf["synthesis/E_4x4/Dense0/weight"].T)
+    # filtered constants don't count as unmatched; true strays do
+    assert unmatched == ["some/unknown/thing"], unmatched
+
+
+def test_tf_snapshot_warm_start_via_build_generator(tmp_path):
+    """A synthetic legacy-TF pickle warm-starts build_generator: remapped
+    leaves land in the param tree, SHU/other leaves stay at init (the
+    non-strict merge) — closes VERDICT r3 missing #3."""
+    import sys
+    import types
+    import pickle
+    import jax
+
+    dnn = types.ModuleType("dnnlib")
+    tflib = types.ModuleType("dnnlib.tflib")
+    netmod = types.ModuleType("dnnlib.tflib.network")
+
+    class Network:
+        pass
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+    netmod.Network = Network
+    dnn.tflib = tflib
+    tflib.network = netmod
+    sys.modules.update({"dnnlib": dnn, "dnnlib.tflib": tflib,
+                        "dnnlib.tflib.network": netmod})
+    try:
+        from shgan_tpu.runtime.stages import build_generator
+
+        # shapes for the tiny comodgan generator below
+        rng = np.random.RandomState(1)
+        gs = Network()
+        gs.version = 4
+        gs.components = {}
+        gs.variables = [
+            ("dlatent_avg", rng.randn(16).astype(np.float32)),
+            ("mapping/Dense0/weight",
+             rng.randn(16, 16).astype(np.float32)),
+            ("mapping/Dense0/bias", rng.randn(16).astype(np.float32)),
+        ]
+        g = Network()
+        g.version = 4
+        g.components = {}
+        g.variables = []
+        path = tmp_path / "tfsnap.pkl"
+        with open(path, "wb") as f:
+            pickle.dump((g, g, gs), f)
+
+        cfg = {"type": "comodgan_generator", "args": {
+            "mapping": {"type": "comodgan_mapping", "args": MAP_KW},
+            "encoder": {"type": "comodgan_encoder", "args": ENC_KW},
+            "synthesis": {"type": "comodgan_synthesis", "args": SYN_KW}}}
+        G, params = build_generator(cfg, str(path))
+        np.testing.assert_array_equal(
+            np.asarray(params["mapping"]["w_avg"]),
+            [v for n, v in gs.variables if n == "dlatent_avg"][0])
+        np.testing.assert_array_equal(
+            np.asarray(params["mapping"]["fc0"]["weight"]),
+            [v for n, v in gs.variables
+             if n == "mapping/Dense0/weight"][0].T)
+        # untouched leaves stay at their init values (non-strict merge)
+        init = G.init(jax.random.key(0))
+        np.testing.assert_array_equal(
+            np.asarray(params["synthesis"]["b4"]["conv"]["weight"]),
+            np.asarray(init["synthesis"]["b4"]["conv"]["weight"]))
+    finally:
+        for k in ("dnnlib", "dnnlib.tflib", "dnnlib.tflib.network"):
+            sys.modules.pop(k, None)

@@ -47,20 +47,42 @@ def fixed_batch(n, res, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def jax_features(x_uint8):
+def jax_features(x_uint8, resize_policy="ts"):
     import jax.numpy as jnp
     from shgan_tpu.eval.inception import (inception_features,
                                           load_inception_params)
     params = load_inception_params(os.environ["SHGAN_TPU_INCEPTION"])
-    return np.asarray(inception_features(params, jnp.asarray(
-        x_uint8.astype(np.float32))), np.float64)
+    return np.asarray(inception_features(
+        params, jnp.asarray(x_uint8.astype(np.float32)),
+        resize_policy=resize_policy), np.float64)
 
 
-def torch_pth_features(x_uint8, sd=None):
+def torch_ts_resize(x, out=299):
+    """The resize the NVIDIA TorchScript detector performs internally:
+    ``affine_grid`` + ``grid_sample(align_corners=False,
+    padding_mode='border')`` with ``theta[d, 2] += 1/in - 1/out`` — the
+    theta shift moves the half-pixel-centered grid onto TF1's asymmetric
+    mapping ``src = dst * in/out``.  ``x``: float torch NCHW."""
+    import torch
+    import torch.nn.functional as F
+    n, c, h, w = x.shape
+    theta = torch.eye(2, 3, dtype=x.dtype)
+    theta[0, 2] += theta[0, 0] / w - theta[0, 0] / out
+    theta[1, 2] += theta[1, 1] / h - theta[1, 1] / out
+    theta = theta.unsqueeze(0).repeat(n, 1, 1)
+    grid = F.affine_grid(theta, [n, c, out, out], align_corners=False)
+    return F.grid_sample(x, grid, mode="bilinear", padding_mode="border",
+                         align_corners=False)
+
+
+def torch_pth_features(x_uint8, sd=None, resize_policy="ts"):
     """Run pt_inception weights through torch ops as an oracle — a
     from-scratch torch graph assembled from the state_dict (mirrors the
-    pytorch-fid FIDInceptionA/C/E patches).  ``sd``: optional in-memory
-    state_dict (weight-free port-parity tests inject a random one)."""
+    pytorch-fid FIDInceptionA/C/E patches, with the resize policy
+    selectable: 'ts' = the TorchScript detector's internal TF-style
+    resize, 'bilinear' = pytorch-fid's F.interpolate).  ``sd``: optional
+    in-memory state_dict (weight-free port-parity tests inject a random
+    one)."""
     import torch
     import torch.nn.functional as F
     if sd is None:
@@ -133,8 +155,11 @@ def torch_pth_features(x_uint8, sd=None):
 
     with torch.no_grad():
         x = torch.from_numpy(x_uint8.astype(np.float32))
-        x = F.interpolate(x, size=(299, 299), mode="bilinear",
-                          align_corners=False)
+        if resize_policy == "ts":
+            x = torch_ts_resize(x)
+        else:
+            x = F.interpolate(x, size=(299, 299), mode="bilinear",
+                              align_corners=False)
         x = x / 127.5 - 1.0
         x = conv_bn(x, "Conv2d_1a_3x3", stride=2)
         x = conv_bn(x, "Conv2d_2a_3x3")
@@ -200,14 +225,19 @@ def emit_fixture(path=None, n=4, res=(299, 256, 512)):
     params = load_inception_params(wpath)
     for r in res:
         x = fixed_batch(n, int(r))
-        # the torch oracle of the SAME weights: the port-parity target
-        out[f"feat_pth_{r}"] = torch_pth_features(x).astype(np.float32)
-        feat, probs = inception_features_and_probs(
-            params, jnp.asarray(x.astype(np.float32)))
-        out[f"feat_jax_{r}"] = np.asarray(feat, np.float32)
-        out[f"probs_jax_{r}"] = np.asarray(probs, np.float32)
+        for policy in ("ts", "bilinear"):
+            # the torch oracle of the SAME weights: the port-parity target
+            out[f"feat_pth_{policy}_{r}"] = torch_pth_features(
+                x, resize_policy=policy).astype(np.float32)
+            feat, probs = inception_features_and_probs(
+                params, jnp.asarray(x.astype(np.float32)),
+                resize_policy=policy)
+            out[f"feat_jax_{policy}_{r}"] = np.asarray(feat, np.float32)
+            if policy == "ts":
+                out[f"probs_jax_{r}"] = np.asarray(probs, np.float32)
         if have_ts:
-            # the reference detector itself (the FID ground truth)
+            # the reference detector itself (the FID ground truth);
+            # compared against the 'ts' policy features
             out[f"feat_ts_{r}"] = torchscript_features(x).astype(np.float32)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out)
@@ -241,20 +271,25 @@ def main():
     ok = True
     for res in args.res:
         x = fixed_batch(args.n, res)
-        jf = jax_features(x)
-        tf = torch_pth_features(x)
-        d = np.abs(jf - tf)
-        print(f"[pth  oracle] res {res}: max|Δ|={d.max():.3e} "
-              f"mean|Δ|={d.mean():.3e}  {'OK' if d.max() <= 1e-3 else 'FAIL'}")
-        ok &= d.max() <= 1e-3
+        for policy in ("ts", "bilinear"):
+            jf = jax_features(x, resize_policy=policy)
+            tf = torch_pth_features(x, resize_policy=policy)
+            d = np.abs(jf - tf)
+            print(f"[pth oracle/{policy:8s}] res {res}: "
+                  f"max|Δ|={d.max():.3e} mean|Δ|={d.mean():.3e}  "
+                  f"{'OK' if d.max() <= 1e-3 else 'FAIL'}")
+            ok &= d.max() <= 1e-3
         if have_ts:
+            # the reference's actual detector vs our 'ts' policy — the
+            # resize gap is CLOSED, so this is asserted at EVERY
+            # resolution, not reported (north star: FID ±0.05)
+            jf = jax_features(x, resize_policy="ts")
             sf = torchscript_features(x)
             ds = np.abs(jf - sf)
-            tag = "network parity" if res == 299 else "incl. resize policy"
-            print(f"[TS detector ] res {res}: max|Δ|={ds.max():.3e} "
-                  f"mean|Δ|={ds.mean():.3e}  ({tag})")
-            if res == 299:
-                ok &= ds.max() <= 1e-2
+            print(f"[TS detector         ] res {res}: "
+                  f"max|Δ|={ds.max():.3e} mean|Δ|={ds.mean():.3e}  "
+                  f"{'OK' if ds.max() <= 1e-2 else 'FAIL'}")
+            ok &= ds.max() <= 1e-2
     if not have_ts:
         print("SHGAN_TPU_INCEPTION_TS not set — TorchScript comparison "
               "skipped")
