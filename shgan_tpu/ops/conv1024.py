@@ -27,14 +27,20 @@ Kernel shape:
     largest row block that fits VMEM at W=1024 (BH=16 overflows; the
     helper masks VMEM overflow as an opaque HTTP 500).
 
-Opt-in (`SHGAN_CONV1024=pallas` or direct call); the model default stays
-on the XLA conv — a 1.15× win on two convs of one resolution level does
-not justify a nonstandard path by default, see the ledger record.
+Routing (r4): ``set_conv1024_impl("pallas")`` switches the
+stride-1/groups-1/pad-1 3×3 convs with C≤32 at H=W≥1024 in
+``ops.conv_resample._conv2d`` onto this kernel — exactly the two
+32-channel convs per 1024² level the A/B measured at 1.15×.  The single-
+chip eval stage and bench enable it (like the Pallas noise kernel);
+training keeps the XLA conv (``pallas_call`` has no VJP here and does not
+auto-partition under pjit), and the default everywhere else stays XLA.
+`SHGAN_CONV1024=xla` pins it off.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +48,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BH = 8  # output rows per grid step (16 overflows VMEM at W=1024)
+
+_IMPL = "xla"
+
+
+def set_conv1024_impl(impl):
+    """'pallas' routes eligible low-channel ≥1024² convs through
+    :func:`conv3x3_lowch`; 'xla' restores the default.  The env override
+    ``SHGAN_CONV1024`` wins (measured-gate escape hatch)."""
+    global _IMPL
+    assert impl in ("pallas", "xla"), impl
+    _IMPL = os.environ.get("SHGAN_CONV1024", impl)
+
+
+MIN_RES = 1024  # below this the XLA conv wins (docs/perf_ab.json)
+
+
+def conv1024_eligible(x_shape, w_shape, stride, groups, padding):
+    """True iff the Pallas kernel covers this conv AND it is switched on:
+    the measured-win shape class (3×3, stride 1, pad 1, C_in=C_out≤32,
+    H=W≥MIN_RES, H divisible by the row block)."""
+    if _IMPL != "pallas":
+        return False
+    n, c, h, wd = x_shape
+    oc, cg, kh, kw = w_shape
+    return (stride == 1 and groups == 1 and (kh, kw) == (3, 3)
+            and padding == (1, 1) and c <= 32 and oc <= 32
+            and h == wd and h >= MIN_RES and h % BH == 0)
 
 
 def _kernel(x0_ref, x1_ref, x2_ref, w_ref, o_ref, acc):

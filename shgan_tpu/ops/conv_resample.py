@@ -46,6 +46,13 @@ def _conv2d(x, w, stride=1, padding=(0, 0), groups=1, flip_weight=True):
     """Plain correlation, torch-conv2d-compatible. padding=(py, px)."""
     w = _maybe_flip(w, flip_weight)
     py, px = padding
+    from .conv1024 import conv1024_eligible
+    if conv1024_eligible(x.shape, w.shape, stride, groups, (py, px)):
+        # measured 1.15× on the MXU-starved 32-channel ≥1024² level
+        # (docs/perf_ab.json "1024² conv formulations"); opt-in via
+        # set_conv1024_impl — eval/bench single-chip only
+        from .conv1024 import conv3x3_lowch
+        return conv3x3_lowch(x, w.astype(x.dtype))
     return lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),

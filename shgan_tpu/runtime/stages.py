@@ -207,11 +207,16 @@ class eval_stage:
         print_log(f"devices: {n_dev}, global eval batch: {batch_size}")
         _check_batch_limits(cfg["model_g"], batch_size, n_dev, "eval_stage")
 
-        if n_dev == 1 and jax.default_backend() == "tpu" \
-                and cfgv.get("pallas_noise", True):
-            # single-chip: hardware-PRNG noise kernel (ops/noise.py)
-            from ..ops.noise import set_noise_impl
-            set_noise_impl("pallas")
+        if n_dev == 1 and jax.default_backend() == "tpu":
+            if cfgv.get("pallas_noise", True):
+                # single-chip: hardware-PRNG noise kernel (ops/noise.py)
+                from ..ops.noise import set_noise_impl
+                set_noise_impl("pallas")
+            if cfgv.get("pallas_conv1024", True):
+                # low-channel ≥1024² convs via the measured Pallas kernel
+                # (no-op at other shapes; ops/conv1024.py)
+                from ..ops.conv1024 import set_conv1024_impl
+                set_conv1024_impl("pallas")
 
         dataset = get_dataset(cfgv["dataset"],
                               fallback_synthetic=cfge.get("debug", False))

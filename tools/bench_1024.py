@@ -103,7 +103,34 @@ def main():
     report("3x3 32->32 @1024^2 NHWC", timeit(conv_nhwc, x_nhwc, w_hwio),
            flops, byts, bs)
 
-    # ---- c. space-to-depth shaped work (NOT an exact mapping: the exact
+    # ---- b. batch-into-channels (VERDICT r3 #4): fold G=4 images into
+    # the channel dim so the contraction/output lanes see 128 channels.
+    # Two exact mappings: grouped conv (same FLOPs, but groups compute
+    # per-group → lanes still 32) and block-diagonal dense weight (full
+    # 128-lane fill bought with 4× padded FLOPs).  TF/s reported against
+    # USEFUL flops, so ≥1× img/s-equiv is the only win condition. --------
+    if bs % 4 == 0:
+        Gf = 4
+        xg = x_nchw.reshape(bs // Gf, Gf * C, H, H)
+        wg = jnp.tile(w33, (Gf, 1, 1, 1))           # [G*C, C, 3, 3]
+        wb = np.zeros((Gf * C, Gf * C, 3, 3), np.float32)
+        for g in range(Gf):
+            wb[g * C:(g + 1) * C, g * C:(g + 1) * C] = np.asarray(
+                w33, np.float32)
+        wb = jnp.asarray(wb, dt)
+        jax.block_until_ready((xg, wg, wb))
+
+        @jax.jit
+        def conv_grouped(x, w):
+            return lax.conv_general_dilated(
+                x, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=Gf)
+
+        report("  batch->ch grouped 4x(32->32)",
+               timeit(conv_grouped, xg, wg), flops, byts, bs)
+        report("  batch->ch blockdiag 128->128 (4x pad)",
+               timeit(conv_nchw, xg, wb), flops, byts, bs)
     # dense s2d kernel needs 3x3 cell support = 4x the FLOPs; this probes
     # what XLA achieves on the 128-channel shape) -----------------------
     @jax.jit
