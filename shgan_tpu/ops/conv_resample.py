@@ -73,6 +73,13 @@ def _conv2d_up(x, w, up, padding, groups=1, flip_weight=True):
     w = _maybe_flip(w, flip_weight)
     kh, kw = w.shape[2], w.shape[3]
     pyt, pxt = padding
+    from .subpixel import subpixel_eligible
+    if subpixel_eligible(w.shape, up, (pyt, pxt), groups):
+        # phase-decomposed transposed conv: computes only 16/36 of the
+        # nominal taps on a 4×-wider output-channel GEMM over the coarse
+        # grid (ops/subpixel.py); opt-in via set_subpixel_impl
+        from .subpixel import conv2d_up_phase
+        return conv2d_up_phase(x, w.astype(x.dtype), (pyt, pxt))
     return lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(1, 1),
