@@ -533,9 +533,11 @@ def main():
         # does not auto-partition under pjit)
         from shgan_tpu.ops.noise import set_noise_impl
         set_noise_impl("pallas")
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
-        # low-channel ≥1024² convs via the measured Pallas kernel (1.15×
-        # on the exact conv; no-op below 1024² — ops/conv1024.py)
+    if os.environ.get("SHGAN_CONV1024") == "pallas" \
+            and jax.default_backend() == "tpu" and jax.device_count() == 1:
+        # opt-in ONLY: 1.18x on the isolated ≥1024² low-channel conv but
+        # 0.73x on the full 1024² model (fusion/layout loss around the
+        # pallas_call — docs/perf_ab.json record 16)
         from shgan_tpu.ops.conv1024 import set_conv1024_impl
         set_conv1024_impl("pallas")
 

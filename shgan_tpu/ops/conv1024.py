@@ -29,12 +29,17 @@ Kernel shape:
 
 Routing (r4): ``set_conv1024_impl("pallas")`` switches the
 stride-1/groups-1/pad-1 3×3 convs with C≤32 at H=W≥1024 in
-``ops.conv_resample._conv2d`` onto this kernel — exactly the two
-32-channel convs per 1024² level the A/B measured at 1.15×.  The single-
-chip eval stage and bench enable it (like the Pallas noise kernel);
-training keeps the XLA conv (``pallas_call`` has no VJP here and does not
-auto-partition under pjit), and the default everywhere else stays XLA.
-`SHGAN_CONV1024=xla` pins it off.
+``ops.conv_resample._conv2d`` onto this kernel.  **Opt-in ONLY**
+(``SHGAN_CONV1024=pallas``): the 1.18× isolated-kernel win does NOT
+survive the full 1024² model — a full-model A/B (r4, bench.py
+BENCH_RES=1024) measured 82.0/83.4 img/s on the pure-XLA path vs
+60.8/61.5 img/s with this kernel routed (0.73×).  The ``pallas_call``
+is an optimization barrier: XLA can no longer fuse the surrounding
+bias/act/FIR elementwise work into the conv and inserts layout
+conversions around the custom call, costing far more than the 2.4 ms/
+conv the kernel saves (docs/perf_ab.json record 16).  Training keeps
+the XLA conv regardless (``pallas_call`` has no VJP here and does not
+auto-partition under pjit).
 """
 
 from __future__ import annotations

@@ -212,9 +212,10 @@ class eval_stage:
                 # single-chip: hardware-PRNG noise kernel (ops/noise.py)
                 from ..ops.noise import set_noise_impl
                 set_noise_impl("pallas")
-            if cfgv.get("pallas_conv1024", True):
-                # low-channel ≥1024² convs via the measured Pallas kernel
-                # (no-op at other shapes; ops/conv1024.py)
+            if cfgv.get("pallas_conv1024", False):
+                # opt-in ONLY: the Pallas low-channel kernel wins 1.18x in
+                # isolation but loses 0.73x inside the full 1024² model
+                # (docs/perf_ab.json record 16; ops/conv1024.py)
                 from ..ops.conv1024 import set_conv1024_impl
                 set_conv1024_impl("pallas")
 
