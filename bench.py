@@ -60,6 +60,28 @@ def _enable_compile_cache():
         pass
 
 
+def _apply_fold(cfg_g):
+    """SHGAN_FOLD=1: run the MXU-starved low-channel levels in the
+    space-to-depth folded domain (ops/folded.py — exact rewrite).
+
+    SHGAN_FOLD_CH (default 32) sets the max channel count that folds:
+    32 → only the 32-ch (1024²-scale) levels, where direct XLA runs at
+    ~10 TF/s useful and folding measured 1.9-2.6× (tools/bench_folded*);
+    64 additionally folds the 64-ch levels — measured NET LOSS on the
+    g512 full model (240 vs 352 img/s, r4): variant-B stride-1 is 2.67×
+    nominal and the composed up/down are 4×, which the ~125-nominal-TF/s
+    folded convs cannot pay back at 64 channels."""
+    if os.environ.get("SHGAN_FOLD", "0") != "1":
+        return
+    fold_ch = int(os.environ.get("SHGAN_FOLD_CH", "32"))
+    enc = cfg_g["args"]["encoder"]["args"]
+    syn = cfg_g["args"]["synthesis"]["args"]
+    thr = max(int(enc.get("ch_base", 16384)) // (2 * fold_ch), 4)
+    if int(enc.get("resolution", 0)) > thr:
+        enc["fold_above_res"] = thr
+        syn["fold_above_res"] = thr
+
+
 def _peak_flops():
     import jax
     env = os.environ.get("BENCH_PEAK_TFLOPS")
@@ -229,6 +251,7 @@ def run_train(res, bs, bf16, iters=8):
         cfg_g["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg_g["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
         cfg_d["args"]["use_fp16_before_res"] = 16
+    _apply_fold(cfg_g)
 
     # inputs BEFORE the first executable runs (transfer degradation,
     # CLAUDE.md) — init_train_state below runs executables
@@ -299,6 +322,7 @@ def run_e2e(res, bs, bf16, n_batches=10):
     if bf16:
         cfg_g["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg_g["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
+    _apply_fold(cfg_g)
     n_images = bs * n_batches
     # Build the detector params from pure NUMPY (no executable runs
     # anywhere), so jnp.asarray ships them straight to the DEFAULT
@@ -526,6 +550,7 @@ def main():
         # TPU-native equivalent)
         cfg["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
+    _apply_fold(cfg)
     if jax.default_backend() == "tpu" and jax.device_count() == 1 \
             and os.environ.get("SHGAN_PALLAS_NOISE") != "0":
         # hardware-PRNG Box-Muller noise kernel (ops/noise.py): ~8% faster

@@ -30,8 +30,16 @@ class EncoderBlock:
     def __init__(self, ic_n, mc_n, oc_n, rgb_n=None,
                  resample_filter=(1, 3, 3, 1),
                  activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
-                 reslink=False, use_fp16=False):
+                 reslink=False, use_fp16=False, folded=False):
         self.reslink = reslink
+        # folded: run this level in the space-to-depth domain
+        # (ops/folded.py) — exact; wins on the MXU-starved C≤64 levels.
+        # Input x/img is folded at entry (a transpose the first block
+        # amortizes over a 4-channel image); conv1's folded down-conv
+        # emits the next level UNFOLDED for free; feat stays folded for
+        # the same-level synthesis skip.
+        self.folded = folded
+        assert not (folded and reslink), "folded reslink not implemented"
         self.dtype = jnp.bfloat16 if use_fp16 else jnp.float32
         self.fromrgb = None
         if rgb_n is not None:
@@ -61,6 +69,8 @@ class EncoderBlock:
     def __call__(self, params, x, img):
         """Returns (x_downsampled, feat) — feat is the conv0 output used as
         the synthesis skip (comodgan.py:56-64)."""
+        if self.folded:
+            return self._call_folded(params, x, img)
         if x is not None:
             x = x.astype(self.dtype)
         if self.fromrgb is not None:
@@ -78,6 +88,25 @@ class EncoderBlock:
             x = self.conv1(params["conv1"], feat)
         # opt-in spatial sharding (parallel/spatial.py): no-op by default
         return spatial_constrain(x), spatial_constrain(feat)
+
+    def _call_folded(self, params, x, img):
+        """Folded-domain version of the block: identical math, phase-major
+        space-to-depth layout (ops/folded.py).  feat is returned FOLDED."""
+        from ..ops.folded import fold
+        if x is not None:
+            x = x.astype(self.dtype)
+            if x.shape[1] == self.conv0.in_channels:
+                x = fold(x)  # previous level handed us the unfolded layout
+        if self.fromrgb is not None:
+            img = img.astype(self.dtype)
+            if img.shape[1] == self.fromrgb.in_channels:
+                img = fold(img)  # caller may pre-fold (4× channels)
+            y = self.fromrgb(params["fromrgb"], img, folded_in=True,
+                             folded_out=True)
+            x = x + y if x is not None else y
+        feat = self.conv0(params["conv0"], x, folded_in=True, folded_out=True)
+        x = self.conv1(params["conv1"], feat, folded_in=True)
+        return x, feat
 
 
 class EncoderEpilogue:
@@ -143,11 +172,18 @@ class Encoder:
                  resample_filter=(1, 3, 3, 1),
                  activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
                  mbstd_group_size=4, mbstd_c_n=1, c_dim=None, cmap_dim=None,
-                 use_dropout=True, has_extra_final_layer=True, remat=False):
+                 use_dropout=True, has_extra_final_layer=True, remat=False,
+                 fold_above_res=None):
         # remat: rematerialize each block in backward (jax.checkpoint) —
         # trades ~1 extra forward for O(depth) less activation HBM, the
         # TPU-native answer to training-step OOM at large batch
         self.remat = remat
+        # fold_above_res: run blocks at resolution > this in the
+        # space-to-depth folded domain (ops/folded.py) — exact rewrite,
+        # measured 1.5-2.6× on the MXU-starved C≤64 levels; keep it at a
+        # resolution where channels are ≤64 (folding 128-ch levels LOSES,
+        # tools/bench_folded.py)
+        self.fold_above_res = fold_above_res
         log2res = int(np.log2(resolution))
         if 2 ** log2res != resolution:
             raise ValueError(resolution)
@@ -166,7 +202,9 @@ class Encoder:
             self.blocks[resi] = EncoderBlock(
                 ch_i, ch_i, ch_j, rgb_n=ic_n if idx == 0 else None,
                 resample_filter=resample_filter, activation=activation,
-                reslink=False, use_fp16=use_fp16)
+                reslink=False, use_fp16=use_fp16,
+                folded=(fold_above_res is not None
+                        and resi > fold_above_res))
 
         self.mapping = None
         if c_dim is not None and c_dim > 0:

@@ -117,14 +117,42 @@ class Conv2dLayer:
             params["bias"] = jnp.zeros((self.out_channels,), jnp.float32)
         return params
 
-    def __call__(self, params, x, gain=1.0):
+    def __call__(self, params, x, gain=1.0, folded_in=False,
+                 folded_out=False):
         w = params["weight"] * self.weight_gain
         flip_weight = (self.up == 1)
-        x = conv2d_resample(x, w.astype(x.dtype), f=self.resample_filter,
-                            up=self.up, down=self.down, padding=self.padding,
-                            flip_weight=flip_weight)
+        if folded_in or folded_out:
+            # space-to-depth folded domain (ops/folded.py) — exact, for
+            # the MXU-starved C≤64 high-res levels
+            from ..ops import folded as _fold
+            from ..ops.conv_resample import _maybe_flip
+            k = self.kernel_size
+            wd = _maybe_flip(w.astype(x.dtype), flip_weight)
+            if self.up == 1 and self.down == 1 and k == 3:
+                assert folded_in and folded_out
+                x = _fold.conv_s1_folded(x, wd)
+            elif self.up == 1 and self.down == 1 and k == 1:
+                assert folded_in and folded_out
+                x = _fold.conv_1x1_folded(x, wd)
+            elif self.down == 2 and self.up == 1 and k == 3:
+                assert folded_in and not folded_out
+                x = _fold.conv_down_folded(x, wd, self.resample_filter)
+            elif self.up == 2 and self.down == 1 and k == 3:
+                assert folded_out and not folded_in
+                x = _fold.conv_up_folded(x, wd, self.resample_filter)
+            else:
+                raise NotImplementedError((self.up, self.down, k))
+        else:
+            x = conv2d_resample(x, w.astype(x.dtype), f=self.resample_filter,
+                                up=self.up, down=self.down,
+                                padding=self.padding,
+                                flip_weight=flip_weight)
         if self.use_bias:
-            x = x + params["bias"].astype(x.dtype)[None, :, None, None]
+            b = params["bias"]
+            if folded_out:
+                from ..ops.folded import tile_channel_vec
+                b = tile_channel_vec(b)
+            x = x + b.astype(x.dtype)[None, :, None, None]
         if self.activation is not None:
             x = self.activation(x, gain=gain)
         elif gain != 1.0:
@@ -169,7 +197,8 @@ class SynthesisLayer:
             params["noise_strength"] = jnp.zeros((), jnp.float32)
         return params
 
-    def __call__(self, params, x, w, gain=1.0, noise_mode="random", rng=None):
+    def __call__(self, params, x, w, gain=1.0, noise_mode="random", rng=None,
+                 folded_in=False, folded_out=False):
         assert noise_mode in ("random", "const", "none")
         styles = self.affine(params["affine"], w)
         noise = None
@@ -181,14 +210,23 @@ class SynthesisLayer:
                 dtype=jnp.float32) * params["noise_strength"]
         elif self.use_noise and noise_mode == "const":
             noise = params["noise_const"] * params["noise_strength"]
+        if noise is not None and folded_out:
+            # [N,1,S,S] / [S,S] fine noise → [N,4,S/2,S/2] / [4,S/2,S/2]
+            from ..ops.folded import fold_noise
+            noise = fold_noise(noise[:, 0] if noise.ndim == 4 else noise)
 
         flip_weight = (self.up == 1)
         x = modulated_conv2d(
             x, params["weight"], styles, noise=noise, up=self.up,
             padding=self.padding, resample_filter=self.resample_filter,
-            flip_weight=flip_weight)
+            flip_weight=flip_weight, folded_in=folded_in,
+            folded_out=folded_out)
         if self.use_bias:
-            x = x + params["bias"].astype(x.dtype)[None, :, None, None]
+            b = params["bias"]
+            if folded_out:
+                from ..ops.folded import tile_channel_vec
+                b = tile_channel_vec(b)
+            x = x + b.astype(x.dtype)[None, :, None, None]
         if self.activation is not None:
             x = self.activation(x, gain=gain)
         elif gain != 1.0:
@@ -221,10 +259,15 @@ class ToRGBLayer:
             "affine": self.affine.init(k1),
         }
 
-    def __call__(self, params, x, w):
+    def __call__(self, params, x, w, folded=False):
         styles = self.affine(params["affine"], w) * self.weight_gain
-        x = modulated_conv2d(x, params["weight"], styles, demodulate=False)
-        x = x + params["bias"].astype(x.dtype)[None, :, None, None]
+        x = modulated_conv2d(x, params["weight"], styles, demodulate=False,
+                             folded_in=folded, folded_out=folded)
+        b = params["bias"]
+        if folded:
+            from ..ops.folded import tile_channel_vec
+            b = tile_channel_vec(b)
+        x = x + b.astype(x.dtype)[None, :, None, None]
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -40,10 +40,35 @@ class ShganEncoder(Encoder):
     def __call__(self, params, img, c=None, rng=None, train=False):
         x, feats = super().__call__(params, img, c=c, rng=rng, train=train)
         ch = self.shu_channels
-        infeat = feats[self.shu_input_res][:, -ch:]
+        infeat = feats[self.shu_input_res]
+        if (self.fold_above_res is not None
+                and self.shu_input_res > self.fold_above_res):
+            # the SHU tap level is folded: take the last ch channels of
+            # each per-phase block, then restore the fine layout for the
+            # (resolution-static) spectral pipeline
+            from ..ops.folded import unfold
+            n, c4, h, w = infeat.shape
+            infeat = unfold(infeat.reshape(n, 4, c4 // 4, h, w)[:, :, -ch:]
+                            .reshape(n, 4 * ch, h, w))
+        else:
+            infeat = infeat[:, -ch:]
         hints = self.shu(params["shu"], infeat)
         for res, hint in hints.items():
-            fa = feats[res][:, :-ch]
-            fb = feats[res][:, -ch:] + hint.astype(feats[res].dtype)
-            feats[res] = jnp.concatenate([fa, fb], axis=1)
+            feat = feats[res]
+            if (self.fold_above_res is not None
+                    and res > self.fold_above_res):
+                # feat is phase-major folded (ops/folded.py): the "last
+                # ch channels" of the fine layout are the last ch of each
+                # per-phase channel block
+                from ..ops.folded import fold
+                n, c4, h, w = feat.shape
+                f4 = feat.reshape(n, 4, c4 // 4, h, w)
+                hf = fold(hint).reshape(n, 4, ch, h, w)
+                fb = f4[:, :, -ch:] + hf.astype(feat.dtype)
+                feats[res] = jnp.concatenate(
+                    [f4[:, :, :-ch], fb], axis=2).reshape(n, c4, h, w)
+            else:
+                fa = feat[:, :-ch]
+                fb = feat[:, -ch:] + hint.astype(feat.dtype)
+                feats[res] = jnp.concatenate([fa, fb], axis=1)
         return x, feats

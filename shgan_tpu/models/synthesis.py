@@ -238,11 +238,19 @@ class CoModSynthesisBlock:
     def __init__(self, ic_n, oc_n, w_dim, w0_dim, resolution, rgb_n,
                  resample_filter=(1, 3, 3, 1),
                  activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
-                 res_link=False, use_fp16=False):
+                 res_link=False, use_fp16=False, folded=False):
         if ic_n == 0:
             raise ValueError
         self.resolution = resolution
         self.res_link = res_link
+        # folded: run this level in the space-to-depth domain
+        # (ops/folded.py) — exact; conv0's folded up-conv never
+        # interleaves its phases, conv1/torgb stay folded, the img
+        # pyramid upsample produces folded RGB, and the img is unfolded
+        # once before return.  The encoder skip x0 must arrive folded
+        # (same fold_above_res on both sides).
+        self.folded = folded
+        assert not (folded and res_link), "folded res_link not implemented"
         self.dtype = jnp.bfloat16 if use_fp16 else jnp.float32
         self.resample_filter = setup_filter(resample_filter)
         self.num_conv = 2
@@ -276,6 +284,9 @@ class CoModSynthesisBlock:
 
     def __call__(self, params, x, x0, img, ws, w0, noise_mode="random",
                  rng=None):
+        if self.folded:
+            return self._call_folded(params, x, x0, img, ws, w0,
+                                     noise_mode=noise_mode, rng=rng)
         x = x.astype(self.dtype)
         x0 = x0.astype(self.dtype)
 
@@ -306,6 +317,38 @@ class CoModSynthesisBlock:
             img = img + y if img is not None else y
         return spatial_constrain(x), spatial_constrain(img)
 
+    def _call_folded(self, params, x, x0, img, ws, w0, noise_mode="random",
+                     rng=None):
+        """Folded-domain block (ops/folded.py): identical math in the
+        phase-major space-to-depth layout.  x enters UNFOLDED at the
+        coarse resolution (conv0's folded up-conv folds for free), x0
+        must arrive folded.  The 3-channel img pyramid stays UNFOLDED
+        (its depthwise FIR is bandwidth-trivial; only torgb's output is
+        unfolded, one small fp32 transpose per folded level)."""
+        from ..ops.folded import unfold
+        x = x.astype(self.dtype)
+        if x.shape[1] == 4 * self.conv0.in_channels:
+            x = unfold(x)  # previous level was folded too
+        x0 = x0.astype(self.dtype)
+
+        w_long = jnp.concatenate([ws[:, 0], w0], axis=1)
+        x = self.conv0(params["conv0"], x, w_long, noise_mode=noise_mode,
+                       rng=_layer_rng(rng, 0), folded_out=True)
+        x = x + x0
+        w_long = jnp.concatenate([ws[:, 1], w0], axis=1)
+        x = self.conv1(params["conv1"], x, w_long, noise_mode=noise_mode,
+                       rng=_layer_rng(rng, 1), folded_in=True,
+                       folded_out=True)
+
+        if img is not None:
+            img = upsample2d(img, self.resample_filter)
+        if self.torgb is not None:
+            w_long = jnp.concatenate([ws[:, 2], w0], axis=1)
+            y = self.torgb(params["torgb"], x, w_long, folded=True)
+            y = unfold(y.astype(jnp.float32))
+            img = img + y if img is not None else y
+        return x, img
+
 
 class CoModSynthesis:
     """CoModGAN synthesis pyramid (reference comodgan ``Synthesis``,
@@ -317,8 +360,12 @@ class CoModSynthesis:
                  ch_base=16384, ch_max=512, use_fp16_after_res=16,
                  resample_filter=(1, 3, 3, 1),
                  activation="lrelu_agc(alpha=0.2, gain=sqrt_2, clamp=256)",
-                 remat=False):
+                 remat=False, fold_above_res=None):
         self.remat = remat  # per-block jax.checkpoint (see encoder.Encoder)
+        # fold_above_res: space-to-depth folded domain for blocks at
+        # resolution > this (see encoder.Encoder.fold_above_res; must
+        # match the encoder's value so the skip feats line up)
+        self.fold_above_res = fold_above_res
         log2res = int(np.log2(resolution))
         if 2 ** log2res != resolution:
             raise ValueError(resolution)
@@ -347,7 +394,9 @@ class CoModSynthesis:
             self.blocks[resj] = CoModSynthesisBlock(
                 ch_i, ch_j, w_dim=w_dim, w0_dim=w0_dim, resolution=resj,
                 rgb_n=rgb_n, resample_filter=resample_filter,
-                activation=activation, res_link=False, use_fp16=use_fp16)
+                activation=activation, res_link=False, use_fp16=use_fp16,
+                folded=(fold_above_res is not None
+                        and resj > fold_above_res))
 
     def init(self, key):
         keys = jax.random.split(key, len(self.block_res))

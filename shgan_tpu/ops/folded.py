@@ -21,9 +21,11 @@ a known nominal-FLOP inflation for full lane occupancy:
                        become output channels and are NEVER interleaved
                        (the layout-level idea docs/perf_ab.json record
                        17 required before re-attempting subpixel)
-  4-tap FIR blurs    → folded shift-and-add (pure VPU/bandwidth, fused
-                       by XLA), including the torgb img-pyramid
-                       upsample producing folded RGB directly
+  4-tap FIR blurs    → COMPOSED into the up/down conv kernels (the
+                       folded shift-and-add formulation measured 3× the
+                       direct depthwise cost — tools/bench_folded2.py —
+                       so the blur taps ride the MXU instead); the
+                       3-channel img pyramid stays unfolded
 
 Measured isolated on v5e (tools/bench_folded.py, bs=32/8 bf16 chains):
 64ch@512² stride-1: 30.2 → 47.1 TF/s useful (variant B, 1.56×);
@@ -134,39 +136,78 @@ def fold_weight_s1_full(w):
     return wf
 
 
-def fold_weight_down(w):
-    """Fine 3×3 stride-2 correlation kernel [O, I, 3, 3] → folded 2×2
-    kernel [O, 4I, 2, 2] consuming the (H/2+1)-sized pre-blurred folded
-    grid with no padding.  Fine output row = 2i, tap ky: fine input row
-    2i+ky → phase ky%2, coarse offset ky//2."""
+def _pairs(s):
+    """(k, l) with k ∈ [0,4) (filter tap), l ∈ [0,3) (conv tap), k+l = s."""
+    return [(k, s - k) for k in range(4) if 0 <= s - k <= 2]
+
+
+def _prep_f2(f, gain):
+    """2D FIR constant as applied by upfirdn2d: ×gain^(ndim/2)... both
+    axes folded into one 2D array, flipped (convolution semantics)."""
+    f = np.asarray(f, np.float64)
+    if f.ndim == 1:
+        f = np.outer(f, f)
+    f = f * float(gain)
+    return f[::-1, ::-1]
+
+
+def fold_weight_up_composed(w, f, gain=4):
+    """Compose the post-up FIR INTO the folded up-conv kernel.
+
+    The direct up path (conv_resample.py up=2, k=3, padding=1) is
+    ``upfirdn(f, pad[1,1], gain=4) ∘ conv(w', lhs_dilation=2, pad=2)``.
+    Per axis: out[m] = Σ_{k,l} f2[k]·w'[l]·x[(m+k+l-3)/2] with parity
+    (q+k+l) odd ⇔ tap offset r = (q+k+l-3)/2 ∈ {-1,0,1} — i.e. one
+    DENSE 3×3 coarse conv [4O, I, 3, 3], padding (1,1), output exactly
+    [N, 4O, H, W] folded.  No odd-size intermediate, no separate blur
+    pass (the folded shift-add blur measured 3× the direct depthwise —
+    tools/bench_folded2.py; this trades it for MXU FLOPs).
+
+    ``w``: the already-flipped kernel ``w'`` (the kernel
+    ``conv_resample._conv2d_up`` correlates with at lhs_dilation=2).
+    """
     O, I = int(w.shape[0]), int(w.shape[1])
-    wf = jnp.zeros((O, 4 * I, 2, 2), w.dtype)
-    for ky in range(3):
-        pi, ry = ky % 2, ky // 2
-        for kx in range(3):
-            pj, rx = kx % 2, kx // 2
-            wf = wf.at[:, (pi * 2 + pj) * I:(pi * 2 + pj + 1) * I,
-                       ry, rx].set(w[:, :, ky, kx])
+    f2 = _prep_f2(f, gain)
+    wf = jnp.zeros((4 * O, I, 3, 3), w.dtype)
+    for qi in (0, 1):
+        for qj in (0, 1):
+            for ry in (-1, 0, 1):
+                for rx in (-1, 0, 1):
+                    acc = None
+                    for ky, ly in _pairs(2 * ry + 3 - qi):
+                        for kx, lx in _pairs(2 * rx + 3 - qj):
+                            term = w[:, :, ly, lx] * jnp.asarray(
+                                f2[ky, kx], w.dtype)
+                            acc = term if acc is None else acc + term
+                    if acc is not None:
+                        wf = wf.at[(qi * 2 + qj) * O:(qi * 2 + qj + 1) * O,
+                                   :, ry + 1, rx + 1].set(acc)
     return wf
 
 
-def fold_weight_up(w):
-    """Already-flipped fine 3×3 transposed-conv kernel [O, I, 3, 3] (the
-    ``w'`` that :func:`..ops.conv_resample._conv2d_up` correlates with at
-    lhs_dilation=2, pad=2, pyt=0) → folded 2×2 kernel [4O, I, 2, 2].
+def fold_weight_down_composed(w, f):
+    """Compose the pre-down FIR INTO the folded down-conv kernel.
 
-    Fine output m = 2y+q taps dilated index j = m+k-2 (k ∈ 0..2), nonzero
-    iff j even → q=0: k=0→coarse y-1, k=2→y; q=1: k=1→y.  With coarse
-    padding (1,1) the conv output has H+1 rows representing fine rows
-    0..2H+1 (the last fine row is structurally zero)."""
+    Direct path: ``conv(w, stride=2) ∘ upfirdn(f, pad[2,2])``.  Per axis:
+    y[i] = Σ_{k,l} f2[k]·w[l]·x[2i+k+l-2]; fine index 2(i+r)+p with
+    s = k+l = 2r+2+p — one 3×3 coarse conv [O, 4I, 3, 3], padding (1,1),
+    folded input [N, 4I, H, W] → unfolded [N, O, H, W]."""
     O, I = int(w.shape[0]), int(w.shape[1])
-    wf = jnp.zeros((4 * O, I, 2, 2), w.dtype)
-    # (q, k) → R index under pad_lo=1: tap reads x[y + R - 1]
-    taps = {(0, 0): 0, (0, 2): 1, (1, 1): 1}    # q=0: y-1,y ; q=1: y
-    for (qi, ky), R in taps.items():
-        for (qj, kx), S in taps.items():
-            wf = wf.at[(qi * 2 + qj) * O:(qi * 2 + qj + 1) * O, :,
-                       R, S].set(w[:, :, ky, kx])
+    f2 = _prep_f2(f, 1.0)
+    wf = jnp.zeros((O, 4 * I, 3, 3), w.dtype)
+    for pi in (0, 1):
+        for pj in (0, 1):
+            for ry in (-1, 0, 1):
+                for rx in (-1, 0, 1):
+                    acc = None
+                    for ky, ly in _pairs(2 * ry + 2 + pi):
+                        for kx, lx in _pairs(2 * rx + 2 + pj):
+                            term = w[:, :, ly, lx] * jnp.asarray(
+                                f2[ky, kx], w.dtype)
+                            acc = term if acc is None else acc + term
+                    if acc is not None:
+                        wf = wf.at[:, (pi * 2 + pj) * I:(pi * 2 + pj + 1) * I,
+                                   ry + 1, rx + 1].set(acc)
     return wf
 
 
@@ -198,161 +239,24 @@ def conv_s1_folded(x, w, variant=None):
 
 def conv_down_folded(x, w, f):
     """Folded equivalent of ``conv2d_resample(x, w, f, down=2, padding=1)``
-    for a 3×3 correlation kernel: pre-blur (folded shift-add) then one
-    2×2 coarse conv.  ``x``: folded [N, 4I, h, w]; returns UNFOLDED
-    [N, O, h, w] (the natural next-level layout)."""
-    t = blur_pre_down_folded(x, f)              # [N, 4I, h+1, w+1]
-    wf = fold_weight_down(w.astype(x.dtype))
+    for a 3×3 correlation kernel: the pre-down FIR is composed INTO one
+    3×3 coarse conv (:func:`fold_weight_down_composed`).  ``x``: folded
+    [N, 4I, h, w]; returns UNFOLDED [N, O, h, w] (the natural next-level
+    layout)."""
+    wf = fold_weight_down_composed(w.astype(x.dtype), f)
     return lax.conv_general_dilated(
-        t, wf, (1, 1), [(0, 0), (0, 0)], dimension_numbers=_DN)
+        x, wf, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN)
 
 
 def conv_up_folded(x, w, f, gain=4):
     """Folded equivalent of the up=2 k=3 path of ``conv2d_resample``
-    (padding=1, pyt=pxt=0): one 2×2 coarse conv producing folded phases,
-    then the folded post-blur.  ``x``: UNFOLDED [N, I, h, w]; ``w``: the
-    already-flipped kernel ``w'`` (see :func:`fold_weight_up`); returns
+    (padding=1, pyt=pxt=0): the post-up FIR is composed INTO one 3×3
+    coarse conv (:func:`fold_weight_up_composed`).  ``x``: UNFOLDED
+    [N, I, h, w]; ``w``: the already-flipped kernel ``w'``; returns
     folded [N, 4O, h, w]."""
-    wf = fold_weight_up(w.astype(x.dtype))
-    y = lax.conv_general_dilated(
+    wf = fold_weight_up_composed(w.astype(x.dtype), f, gain=gain)
+    return lax.conv_general_dilated(
         x, wf, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN)
-    return blur_post_up_folded(y, f, gain=gain)  # [N,4O,h+1,w+1] → [N,4O,h,w]
-
-
-# ---------------------------------------------------------------------------
-# folded 4-tap FIR blurs (shift-and-add; XLA fuses)
-# ---------------------------------------------------------------------------
-
-def _sep_taps(f):
-    """Return the 4 separable 1D taps of the resample filter (``f`` as
-    produced by ``setup_filter`` — 2D outer-product form [4, 4], or 1D
-    [4]).  setup_filter normalizes to unit sum, so the 2D form factors
-    exactly as outer(t, t) with t the unit-sum 1D taps."""
-    f = np.asarray(f, np.float64)
-    if f.ndim == 1:
-        t = f
-    else:
-        assert f.shape == (4, 4), f.shape
-        # rank-1 by construction (setup_filter outer product): with
-        # F = outer(u, u), row sums c_i = u_i·Σu and ΣF = (Σu)², so
-        # u = c / sqrt(ΣF) exactly.
-        c = np.sum(f, axis=1)
-        s = np.sum(f)
-        t = c / np.sqrt(s) if s > 0 else c
-    return [float(v) for v in t]
-
-
-def _axis_shift_add(x, taps, axis, out_len, idx_map):
-    """Generic folded 1D FIR along ``axis`` (2=rows, 3=cols).
-
-    ``idx_map(q, k) -> (p, off)``: output phase q, tap k reads input
-    phase p at coarse offset off.  Input/output phase blocks are the
-    row-phase (axis=2) or col-phase (axis=3) component of the
-    phase-major channel index.  Implemented with explicit pads+slices;
-    everything is elementwise adds that XLA fuses."""
-    n, c4, h, w = x.shape
-    c = c4 // 4
-    # view phases: [N, 2(pi), 2(pj), C, H, W]
-    xv = x.reshape(n, 2, 2, c, h, w)
-    in_len = x.shape[axis]
-    # pad so every (off ∈ [-1, 1]) access is a static in-range slice;
-    # reads past in_len are structural zeros of the fine-grid contract
-    pad_hi = max(out_len + 1 - in_len, 1)
-    pad = [(0, 0)] * 6
-    pad[axis + 2] = (1, pad_hi)
-    xp = jnp.pad(xv, pad)
-
-    def take(p, off):
-        sl = [slice(None)] * 6
-        sl[axis + 2] = slice(1 + off, 1 + off + out_len)
-        if axis == 2:
-            sl[1] = slice(p, p + 1)
-        else:
-            sl[2] = slice(p, p + 1)
-        return xp[tuple(sl)]
-
-    outs = []
-    for q in (0, 1):
-        acc = None
-        for k, t in enumerate(taps):
-            p, off = idx_map(q, k)
-            term = take(p, off) * jnp.asarray(t, x.dtype)
-            acc = term if acc is None else acc + term
-        outs.append(acc)
-    y = jnp.concatenate(outs, axis=1 if axis == 2 else 2)
-    sh = list(y.shape)
-    return y.reshape(n, 4 * c, sh[4], sh[5])
-
-
-def blur_pre_down_folded(x, f):
-    """Folded ``upfirdn2d(x, f, padding=[2,2,2,2])`` (the pre-down blur of
-    conv2d_resample's down fast path for k=3, padding=1, 4-tap f): fine
-    S → S+1 per dim, folded coarse h → h+1 (last fine row of the h+1
-    grid is structurally zero).  out[m] = Σ_k f'[k]·x[m+k-2] where f' is
-    the flipped filter — 4-tap symmetric filters are flip-invariant, and
-    `setup_filter` already normalized f."""
-    taps = _sep_taps(f)[::-1]                   # flip (correlation → conv)
-
-    def imap(q, k):
-        d = q + k
-        p = d % 2
-        return p, (d - p) // 2 - 1
-
-    h, w = x.shape[2], x.shape[3]
-    x = _axis_shift_add(x, taps, 2, h + 1, imap)
-    x = _axis_shift_add(x, taps, 3, w + 1, imap)
-    return x
-
-
-def blur_post_up_folded(x, f, gain=4):
-    """Folded ``upfirdn2d(y, f, padding=[1,1,1,1], gain=4)`` applied to the
-    folded up-conv output (coarse h+1 grid over fine 2h+1 rows, the
-    (h+1)-th fine row structurally zero): out fine m = Σ_k f'[k]·y[m+k-1],
-    m ∈ [0, 2h-1] → folded coarse h."""
-    g = float(gain) ** 0.5
-    taps = [t * g for t in _sep_taps(f)[::-1]]
-
-    def imap(q, k):
-        d = q + k - 1
-        p = d % 2
-        return p, (d - p) // 2
-
-    h = x.shape[2] - 1
-    w = x.shape[3] - 1
-    x = _axis_shift_add(x, taps, 2, h, imap)
-    x = _axis_shift_add(x, taps, 3, w, imap)
-    return x
-
-
-def upsample2d_folded(img, f, gain=4):
-    """Folded ``upsample2d(img, f)``: unfolded [N, C, h, w] → folded
-    [N, 4C, h, w] of the 2h×2w upsampled image (torgb img-pyramid skip).
-
-    Derivation (upfirdn up=2, pad [2,1,2,1], 4-tap): out[2y+q] =
-    Σ_{k: (q+k) even} f'[k]·in[y + (q+k-2)/2] → per phase two taps."""
-    g = float(gain) ** 0.5
-    taps = [t * g for t in _sep_taps(f)[::-1]]
-    n, c, h, w = img.shape
-    xp = jnp.pad(img, ((0, 0), (0, 0), (1, 1), (1, 1)))
-
-    def phase_taps(q):
-        # (tap index k, input offset) pairs with (q+k) even
-        return [(k, (q + k - 2) // 2) for k in range(4) if (q + k) % 2 == 0]
-
-    rows = {}
-    for qi in (0, 1):
-        for qj in (0, 1):
-            acc = None
-            for ky, oy in phase_taps(qi):
-                for kx, ox in phase_taps(qj):
-                    t = taps[ky] * taps[kx]
-                    term = lax.slice(
-                        xp, (0, 0, 1 + oy, 1 + ox),
-                        (n, c, 1 + oy + h, 1 + ox + w)) \
-                        * jnp.asarray(t, img.dtype)
-                    acc = term if acc is None else acc + term
-            rows[qi * 2 + qj] = acc
-    return jnp.concatenate([rows[p] for p in range(4)], axis=1)
 
 
 # ---------------------------------------------------------------------------

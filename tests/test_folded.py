@@ -12,7 +12,7 @@ import pytest
 
 from shgan_tpu.ops import folded as F
 from shgan_tpu.ops.conv_resample import conv2d_resample, _maybe_flip
-from shgan_tpu.ops.upfirdn2d import setup_filter, upsample2d
+from shgan_tpu.ops.upfirdn2d import setup_filter
 
 pytestmark = pytest.mark.quick
 
@@ -68,13 +68,6 @@ def test_conv_up_folded():
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
 
 
-def test_upsample2d_folded():
-    img = randn(8, (2, 3, 8, 6))
-    ref = F.fold(upsample2d(img, FILT))
-    got = F.upsample2d_folded(img, FILT)
-    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
-
-
 def test_conv_1x1_folded():
     x = randn(9, (2, 6, 8, 6))
     w = randn(10, (4, 6, 1, 1)) * 0.3
@@ -95,3 +88,70 @@ def test_tile_channel_vec_matches_layout():
     ref = F.fold(x + b[None, :, None, None])
     got = F.fold(x) + F.tile_channel_vec(b)[None, :, None, None]
     np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: full SH-GAN generator with folded top levels ≡ direct
+# ---------------------------------------------------------------------------
+
+def _gen_pair(fold_above_res):
+    import copy
+    from test_models_parity import _tiny_generator_cfg
+    from shgan_tpu.models import get_model
+
+    cfg = _tiny_generator_cfg()
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["args"]["encoder"]["args"]["fold_above_res"] = fold_above_res
+    cfg2["args"]["synthesis"]["args"]["fold_above_res"] = fold_above_res
+    return get_model(cfg), get_model(cfg2)
+
+
+@pytest.mark.parametrize("noise_mode", ["const", "random"])
+def test_generator_folded_exact(noise_mode):
+    """Folding the two top levels (128², 256² — including the
+    folded→folded handoffs, the SHU folded hint add, and the folded img
+    pyramid) must reproduce the direct path to float tolerance, with
+    BIT-identical noise draws in 'random' mode (fine noise is drawn
+    identically, then folded)."""
+    g, gf = _gen_pair(64)
+    params = g.init(jax.random.key(0))
+    rng = np.random.RandomState(3)
+    N = 2
+    real = rng.randn(N, 3, 256, 256).astype(np.float32)
+    mask = (rng.rand(N, 1, 256, 256) > 0.4).astype(np.float32)
+    x = jnp.asarray(np.concatenate([mask - 0.5, real * mask], axis=1))
+    z = jnp.asarray(rng.randn(N, 64).astype(np.float32))
+
+    kw = dict(noise_mode=noise_mode)
+    if noise_mode == "random":
+        kw["rng"] = jax.random.key(7)
+    want = np.asarray(g(params, x, z, **kw))
+    got = np.asarray(gf(params, x, z, **kw))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
+
+
+def test_shgan_encoder_folded_hint_add():
+    """SHU hints landing on a FOLDED level (possible when shu_input_res
+    exceeds the fold threshold) must add into the last shu_channels of
+    the fine layout — i.e. the last channels of each per-phase block."""
+    from test_models_parity import _tiny_generator_cfg
+    from shgan_tpu.models.shgan_encoder import ShganEncoder
+    from shgan_tpu.ops.folded import unfold
+
+    enc_args = dict(_tiny_generator_cfg()["args"]["encoder"]["args"])
+    enc_args["shu_input_res"] = 128   # hints now reach res 128 (folded)
+    e = ShganEncoder(**enc_args)
+    ef = ShganEncoder(**{**enc_args, "fold_above_res": 64})
+    params = e.init(jax.random.key(0))
+    img = randn(20, (2, 4, 256, 256))
+    x, feats = e(params, img)
+    xf, featsf = ef(params, img)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(x),
+                               rtol=0, atol=2e-4)
+    for res in feats:
+        got = featsf[res]
+        if res > 64:
+            got = unfold(got)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(feats[res]),
+                                   rtol=0, atol=2e-4, err_msg=f"res={res}")

@@ -61,6 +61,14 @@ def main():
     if bf16:
         cfg["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
+    import os
+    if os.environ.get("SHGAN_FOLD", "0") == "1":
+        # space-to-depth folded C≤64 levels (ops/folded.py), as bench.py
+        thr = max(int(cfg["args"]["encoder"]["args"].get(
+            "ch_base", 16384)) // 128, 4)
+        cfg["args"]["encoder"]["args"]["fold_above_res"] = thr
+        cfg["args"]["synthesis"]["args"]["fold_above_res"] = thr
+        print(f"folded levels: res > {thr}", flush=True)
     G = get_model(cfg)
     params = jax.device_put(G.init(jax.random.key(0)))
     enc, syn = G.encoder, G.synthesis
@@ -178,8 +186,9 @@ def main():
         bdt = blk.dtype
         x = dev_randn(jax.random.fold_in(key, r * 7),
                       (bs, ch_i, r // 2, r // 2), bdt)
-        x0 = dev_randn(jax.random.fold_in(key, r * 7 + 1), (bs, ch_j, r, r),
-                       bdt)
+        x0_shape = ((bs, 4 * ch_j, r // 2, r // 2)
+                    if getattr(blk, "folded", False) else (bs, ch_j, r, r))
+        x0 = dev_randn(jax.random.fold_in(key, r * 7 + 1), x0_shape, bdt)
         img = dev_randn(jax.random.fold_in(key, r * 7 + 2),
                         (bs, 3, r // 2, r // 2), jnp.float32)
         ws3 = dev_randn(jax.random.fold_in(key, r * 7 + 3), (bs, 3, w_dim),
