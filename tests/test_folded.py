@@ -14,8 +14,6 @@ from shgan_tpu.ops import folded as F
 from shgan_tpu.ops.conv_resample import conv2d_resample, _maybe_flip
 from shgan_tpu.ops.upfirdn2d import setup_filter
 
-pytestmark = pytest.mark.quick
-
 FILT = setup_filter((1, 3, 3, 1))
 
 
@@ -106,6 +104,7 @@ def _gen_pair(fold_above_res):
     return get_model(cfg), get_model(cfg2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("noise_mode", ["const", "random"])
 def test_generator_folded_exact(noise_mode):
     """Folding the two top levels (128², 256² — including the
@@ -131,6 +130,7 @@ def test_generator_folded_exact(noise_mode):
     np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_shgan_encoder_folded_hint_add():
     """SHU hints landing on a FOLDED level (possible when shu_input_res
     exceeds the fold threshold) must add into the last shu_channels of
