@@ -24,6 +24,7 @@ hand-written backward at `upfirdn2d.py:174-192`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -119,6 +120,63 @@ def _depthwise_fir(x, f, downx, downy):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _fir_matrix(n_in, taps, up, down, pad0, pad1):
+    """Banded [n_out, n_in] matrix equal to the 1D upfirdn applied along one
+    axis: zero-insert by ``up``, signed-pad (``pad0``, ``pad1 + up - 1``),
+    correlate with ``taps`` (already gain-scaled and flipped — exactly the
+    per-axis filter :func:`_depthwise_fir` would use), decimate by ``down``.
+
+    Built in float64 numpy at trace time (cached per shape/filter config) so
+    the matmul formulation below is exact vs the depthwise-conv formulation
+    to float rounding."""
+    t = len(taps)
+    n_up = n_in * up - (up - 1)          # interior zeros only BETWEEN samples
+    lo, hi = pad0, pad1 + up - 1
+    n_pad = lo + n_up + hi
+    m = np.zeros((max(n_pad, 0), n_in), np.float64)
+    for i in range(n_in):
+        r = lo + i * up
+        if 0 <= r < n_pad:               # negative pads crop (lax.pad neg)
+            m[r, i] = 1.0
+    n_out = (n_pad - t) // down + 1
+    out = np.zeros((n_out, n_in), np.float64)
+    for k, fk in enumerate(taps):
+        out += fk * m[k:k + (n_out - 1) * down + 1:down]
+    return np.ascontiguousarray(out, np.float32)
+
+
+# Max channel count routed through the matmul-FIR formulation.  An NCHW
+# tensor with C channels occupies C/128 of the vector lanes in the tiled
+# layouts XLA picks for the depthwise-conv formulation — the 3-channel img
+# pyramid upsamples measured 8-12 GB/s effective HBM bandwidth (xprof,
+# 2026-08-19: 26.5 ms of a 336 ms 512^2 forward, 26.3/188 ms at 1024^2).
+# Two dense banded matmuls over the H/W axes instead put the work on the
+# MXU with the 128-lane dimension on W: nominal FLOPs inflate ~65x but the
+# op is ~1000x under the compute roof, so it collapses into the noise.
+_FIR_MATMUL_MAX_C = 8
+
+# ...and min spatial extent: isolated v5e A/B (tools/bench_fir3.py,
+# 2026-08-19) — up 256->512 1.94x, dn 512->256 2.15x, up 512->1024 1.47x,
+# but up 128->256 is 0.89x (the op is too small to amortize the ~65x
+# nominal-FLOP inflation).  Route only when some spatial extent (before or
+# after resampling) reaches this.
+_FIR_MATMUL_MIN_HW = 512
+
+
+def _fir_matmul(x, fy, fx, up, down, pads):
+    """Separable upfirdn as two banded matmuls (H then W axis)."""
+    upx, upy = up
+    downx, downy = down
+    padx0, padx1, pady0, pady1 = pads
+    mh = jnp.asarray(_fir_matrix(x.shape[2], tuple(float(v) for v in fy),
+                                 upy, downy, pady0, pady1), x.dtype)
+    mw = jnp.asarray(_fir_matrix(x.shape[3], tuple(float(v) for v in fx),
+                                 upx, downx, padx0, padx1), x.dtype)
+    x = jnp.einsum("oh,nchw->ncow", mh, x)
+    return jnp.einsum("pw,ncow->ncop", mw, x)
+
+
 def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1):
     """Pad, upsample, FIR-filter, and downsample a batch of NCHW images.
 
@@ -153,6 +211,28 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1):
         f_host = None
     f = jnp.asarray(f, dtype=jnp.float32)
     assert f.ndim in (1, 2)
+
+    # Low-channel route: C <= _FIR_MATMUL_MAX_C tensors (the 3-channel img
+    # pyramid) run the whole upfirdn as two banded matmuls on the MXU —
+    # the depthwise-conv formulation leaves 125/128 lanes idle there.
+    from .fir_pallas import get_fir_impl, separable_factor
+    big = max(int(x.shape[2]) * max(upy, 1), int(x.shape[3]) * max(upx, 1),
+              int(x.shape[2]), int(x.shape[3]))
+    if (f_host is not None and int(x.shape[1]) <= _FIR_MATMUL_MAX_C
+            and big >= _FIR_MATMUL_MIN_HW
+            and os.environ.get("SHGAN_FIR_MATMUL", "1") == "1"
+            and get_fir_impl() == "auto"):  # explicit kernel opt-in wins
+        f_np = f_host * (gain ** (f_host.ndim / 2))
+        if not flip_filter:
+            f_np = f_np[tuple(slice(None, None, -1)
+                              for _ in range(f_np.ndim))]
+        if f_np.ndim == 1:
+            fac = (f_np, f_np)   # carries sqrt(gain) per axis
+        else:
+            fac = separable_factor(f_np)
+        if fac is not None:
+            return _fir_matmul(x, fac[0], fac[1], (upx, upy),
+                               (downx, downy), (padx0, padx1, pady0, pady1))
 
     # Steps 1+2 fused: interior padding inserts up-1 zeros BETWEEN samples;
     # the reference inserts them AFTER each sample (upfirdn2d.py:114-116), so

@@ -170,3 +170,83 @@ def test_conv2d_resample_vs_reference(ref, case):
         f=torch.from_numpy(np.asarray(f)), **case).numpy()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# matmul-FIR route (C <= 8): exact vs the depthwise-conv formulation
+# ---------------------------------------------------------------------------
+
+MATMUL_CASES = [
+    dict(shape=(2, 3, 16, 16), up=2, padding=[2, 1, 2, 1], gain=4),
+    dict(shape=(2, 3, 17, 13), up=2, padding=[2, 1, 2, 1], gain=4),
+    dict(shape=(2, 3, 16, 16), down=2, padding=[1, 1, 1, 1]),
+    dict(shape=(2, 4, 16, 16), padding=[2, 1, 2, 1]),
+    dict(shape=(2, 3, 16, 16), up=2, padding=[-1, 2, 3, -2], gain=4),
+    dict(shape=(1, 1, 8, 8), up=4, down=2, padding=[3, 3, 3, 3], gain=16),
+    dict(shape=(2, 3, 16, 16), up=2, padding=[2, 1, 2, 1], gain=4,
+         flip_filter=True),
+]
+
+
+@pytest.mark.parametrize("case", MATMUL_CASES)
+def test_fir_matmul_route_exact(case, monkeypatch):
+    """The banded-matmul formulation for low-channel tensors (the 3-channel
+    img pyramid runs 8-12 GB/s effective under the depthwise-conv tiling —
+    xprof 2026-08-19) must be exact vs the conv formulation."""
+    import importlib
+    M = importlib.import_module("shgan_tpu.ops.upfirdn2d")
+    monkeypatch.setattr(M, "_FIR_MATMUL_MIN_HW", 0)  # small test shapes
+    case = dict(case)
+    shape = case.pop("shape")
+    x = jnp.asarray(np.random.RandomState(7).randn(*shape).astype(np.float32))
+    f = setup_filter((1, 3, 3, 1))
+    monkeypatch.setenv("SHGAN_FIR_MATMUL", "0")
+    want = np.asarray(upfirdn2d(x, f, **case))
+    monkeypatch.setenv("SHGAN_FIR_MATMUL", "1")
+    got = np.asarray(upfirdn2d(x, f, **case))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_fir_matmul_separable_1d(monkeypatch):
+    import importlib
+    M = importlib.import_module("shgan_tpu.ops.upfirdn2d")
+    monkeypatch.setattr(M, "_FIR_MATMUL_MIN_HW", 0)
+    x = jnp.asarray(np.random.RandomState(8).randn(2, 4, 16, 16)
+                    .astype(np.float32))
+    f = setup_filter(np.ones(8))  # 1D separable
+    monkeypatch.setenv("SHGAN_FIR_MATMUL", "0")
+    want = np.asarray(upfirdn2d(x, f, up=2, padding=[5, 3, 5, 3], gain=4))
+    monkeypatch.setenv("SHGAN_FIR_MATMUL", "1")
+    got = np.asarray(upfirdn2d(x, f, up=2, padding=[5, 3, 5, 3], gain=4))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_fir_matmul_gating(monkeypatch):
+    """C > 8 or small spatial extents keep the depthwise-conv formulation
+    (the matmul inflation only pays where the conv tiling wastes lanes AND
+    the op is big enough — up 128->256 measured 0.89x, bench_fir3.py)."""
+    import importlib
+    M = importlib.import_module("shgan_tpu.ops.upfirdn2d")
+    calls = []
+    orig = M._fir_matmul
+    monkeypatch.setattr(M, "_fir_matmul",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    monkeypatch.setenv("SHGAN_FIR_MATMUL", "1")
+    monkeypatch.setattr(M, "_FIR_MATMUL_MIN_HW", 16)
+    f = setup_filter((1, 3, 3, 1))
+    x3 = jnp.zeros((1, 3, 8, 8), jnp.float32)
+    x16 = jnp.zeros((1, 16, 8, 8), jnp.float32)
+    # up: 8*2 = 16 >= 16 -> routed
+    M.upfirdn2d(x3, f, up=2, padding=[2, 1, 2, 1], gain=4)
+    assert calls == [1]
+    # C too high -> conv route
+    M.upfirdn2d(x16, f, up=2, padding=[2, 1, 2, 1], gain=4)
+    assert calls == [1]
+    # down: input extent 8 < 16 -> conv route
+    M.upfirdn2d(x3, f, down=2, padding=[1, 1, 1, 1])
+    assert calls == [1]
+    # down from 16 -> routed
+    x3b = jnp.zeros((1, 3, 16, 16), jnp.float32)
+    M.upfirdn2d(x3b, f, down=2, padding=[1, 1, 1, 1])
+    assert calls == [1, 1]
