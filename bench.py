@@ -60,9 +60,14 @@ def _enable_compile_cache():
         pass
 
 
-def _apply_fold(cfg_g):
-    """SHGAN_FOLD=1: run the MXU-starved low-channel levels in the
+def _apply_fold(cfg_g, res):
+    """SHGAN_FOLD: run the MXU-starved low-channel levels in the
     space-to-depth folded domain (ops/folded.py — exact rewrite).
+
+    Default ON at res >= 1024 (measured r4: 85.6 -> 91.6 img/s at 1024²
+    with the matmul-FIR route also active), OFF below (the only levels
+    that fold at 512² are small enough that dispatch overhead eats the
+    win).  SHGAN_FOLD=0/1 overrides.
 
     SHGAN_FOLD_CH (default 32) sets the max channel count that folds:
     32 → only the 32-ch (1024²-scale) levels, where direct XLA runs at
@@ -71,7 +76,8 @@ def _apply_fold(cfg_g):
     g512 full model (240 vs 352 img/s, r4): variant-B stride-1 is 2.67×
     nominal and the composed up/down are 4×, which the ~125-nominal-TF/s
     folded convs cannot pay back at 64 channels."""
-    if os.environ.get("SHGAN_FOLD", "0") != "1":
+    default = "1" if res >= 1024 else "0"
+    if os.environ.get("SHGAN_FOLD", default) != "1":
         return
     fold_ch = int(os.environ.get("SHGAN_FOLD_CH", "32"))
     enc = cfg_g["args"]["encoder"]["args"]
@@ -251,7 +257,7 @@ def run_train(res, bs, bf16, iters=8):
         cfg_g["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg_g["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
         cfg_d["args"]["use_fp16_before_res"] = 16
-    _apply_fold(cfg_g)
+    _apply_fold(cfg_g, res)
 
     # inputs BEFORE the first executable runs (transfer degradation,
     # CLAUDE.md) — init_train_state below runs executables
@@ -322,7 +328,7 @@ def run_e2e(res, bs, bf16, n_batches=10):
     if bf16:
         cfg_g["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg_g["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
-    _apply_fold(cfg_g)
+    _apply_fold(cfg_g, res)
     n_images = bs * n_batches
     # Build the detector params from pure NUMPY (no executable runs
     # anywhere), so jnp.asarray ships them straight to the DEFAULT
@@ -550,7 +556,7 @@ def main():
         # TPU-native equivalent)
         cfg["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
-    _apply_fold(cfg)
+    _apply_fold(cfg, res)
     if jax.default_backend() == "tpu" and jax.device_count() == 1 \
             and os.environ.get("SHGAN_PALLAS_NOISE") != "0":
         # hardware-PRNG Box-Muller noise kernel (ops/noise.py): ~8% faster
