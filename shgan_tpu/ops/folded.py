@@ -261,19 +261,27 @@ def conv_up_folded(x, w, f, gain=4):
 
 # ---------------------------------------------------------------------------
 # folded 1×1 conv (fromrgb / torgb / res-link): phases are independent,
-# so run them as extra batch — no padded FLOPs at all
+# so the folded operator is block-diagonal in the phase-major layout
 # ---------------------------------------------------------------------------
 
 def conv_1x1_folded(x, w):
-    """1×1 conv on a folded tensor by moving phases into batch.
-    ``x``: folded [N, 4I, h, w]; ``w``: [O, I, 1, 1] → folded [N, 4O, h, w]."""
-    n, c4, h, w_ = x.shape
-    I = c4 // 4
-    xb = x.reshape(n * 4, I, h, w_)
-    y = lax.conv_general_dilated(
-        xb, w.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=_DN)
-    return y.reshape(n, 4 * int(w.shape[0]), h, w_)
+    """1×1 conv on a folded tensor as ONE block-diagonal dense 1×1 conv:
+    ``wf[p*O+o, p*I+i] = w[o, i]``.
+    ``x``: folded [N, 4I, h, w]; ``w``: [O, I, 1, 1] → folded [N, 4O, h, w].
+
+    The first formulation moved phases into batch (reshape [N,4I,h,w] →
+    [4N,I,h,w]) to avoid the 4× nominal-FLOP inflation of the zero blocks —
+    but each such reshape materializes full-tensor layout copies between
+    the conv layout {1,0,3,2} and the row-major reshape layout: xprof
+    (2026-08-19, folded 1024² bs=16) attributes ~30 ms/step (17%) to pure
+    ``copy`` ops around these reshapes, while the padded MACs they avoid
+    cost well under 1 ms.  Dense block-diagonal stays in the conv layout
+    end to end and lets XLA fuse the surrounding bias/act/noise ops."""
+    O, I = int(w.shape[0]), int(w.shape[1])
+    wf = jnp.einsum("pq,oihw->poqihw", jnp.eye(4, dtype=x.dtype),
+                    w.astype(x.dtype)).reshape(4 * O, 4 * I, 1, 1)
+    return lax.conv_general_dilated(
+        x, wf, (1, 1), [(0, 0), (0, 0)], dimension_numbers=_DN)
 
 
 def fold_noise(noise):
