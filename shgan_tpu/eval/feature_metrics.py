@@ -49,8 +49,15 @@ class FeatureBankEvaluator(BaseEvaluator):
         self.dsstat_cache_file = None
         self.dsstat_use_cache = False
         if dsstat_cachefile_tag is not None and self.needs_real:
+            # the resolved resize policy is part of the cache identity:
+            # features computed under 'bilinear' vs 'ts' differ, and a
+            # silent policy flip (r4 changed the default) must miss the
+            # cache rather than corrupt FID (ADVICE r4, medium)
+            from .detector import resolve_resize_policy
+            policy = resolve_resize_policy(resize_policy)
             self.dsstat_cache_file = osp.join(
-                cache_dir, dsstat_cachefile_tag + "_real_feat.npy")
+                cache_dir,
+                f"{dsstat_cachefile_tag}_{policy}_real_feat.npy")
             if jax.process_count() > 1:
                 # the use-cache decision must be uniform across processes
                 # (sync_across_processes pairs collectives by which banks

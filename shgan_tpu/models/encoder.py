@@ -106,7 +106,10 @@ class EncoderBlock:
             x = x + y if x is not None else y
         feat = self.conv0(params["conv0"], x, folded_in=True, folded_out=True)
         x = self.conv1(params["conv1"], feat, folded_in=True)
-        return x, feat
+        # same opt-in spatial-sharding annotation as the direct path —
+        # constraining the folded [N,4C,H/2,W/2] layout is semantically a
+        # no-op when inactive and keeps GSPMD halos on folded levels too
+        return spatial_constrain(x), spatial_constrain(feat)
 
 
 class EncoderEpilogue:

@@ -127,6 +127,12 @@ class Conv2dLayer:
             from ..ops import folded as _fold
             from ..ops.conv_resample import _maybe_flip
             k = self.kernel_size
+            if self.padding != (k - 1) // 2:
+                # the folded ops hardcode SAME semantics (pad=(k-1)//2);
+                # any other padding must fail loudly, not mis-lower
+                raise NotImplementedError(
+                    f"folded conv requires padding=(k-1)//2, got "
+                    f"{self.padding} for k={k}")
             wd = _maybe_flip(w.astype(x.dtype), flip_weight)
             if self.up == 1 and self.down == 1 and k == 3:
                 assert folded_in and folded_out

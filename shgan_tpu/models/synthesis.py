@@ -347,7 +347,9 @@ class CoModSynthesisBlock:
             y = self.torgb(params["torgb"], x, w_long, folded=True)
             y = unfold(y.astype(jnp.float32))
             img = img + y if img is not None else y
-        return x, img
+        # keep the opt-in spatial-sharding annotations on folded levels
+        # too (no-op when inactive) — ADVICE r4
+        return spatial_constrain(x), spatial_constrain(img)
 
 
 class CoModSynthesis:

@@ -64,12 +64,15 @@ def set_subpixel_impl(impl):
 def subpixel_eligible(w_shape, up, padding, groups):
     """True iff the phase decomposition covers this transposed conv AND it
     is switched on: up=2, square odd kernel (3×3 in every SH-GAN/StyleGAN2
-    up layer), no groups, and the symmetric-padding contract of
-    ``_conv2d_up`` (pyt == pxt is guaranteed there; any value works)."""
+    up layer), no groups, and torch-side pads in {0, 1, 2} — the range
+    :func:`conv2d_up_phase`'s placement algebra is derived for (it assumes
+    the lax-side pad ``k-1-pyt`` is non-negative); out-of-contract pads
+    fall back to the XLA dilated conv instead of mis-lowering."""
     if _IMPL != "phase":
         return False
     oc, ic, kh, kw = w_shape
-    return up == 2 and groups == 1 and kh == kw == 3
+    return (up == 2 and groups == 1 and kh == kw == 3
+            and 0 <= padding[0] <= 2 and 0 <= padding[1] <= 2)
 
 
 def conv2d_up_phase(x, w, padding):

@@ -63,11 +63,12 @@ def main():
         cfg["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
     import os
     if os.environ.get("SHGAN_FOLD", "0") == "1":
-        # space-to-depth folded C≤64 levels (ops/folded.py), as bench.py
-        thr = max(int(cfg["args"]["encoder"]["args"].get(
-            "ch_base", 16384)) // 128, 4)
-        cfg["args"]["encoder"]["args"]["fold_above_res"] = thr
-        cfg["args"]["synthesis"]["args"]["fold_above_res"] = thr
+        # fold exactly the levels bench.py folds (same formula incl.
+        # SHGAN_FOLD_CH — ADVICE r4: this tool used //128 and mislabeled
+        # the shipped config)
+        import bench
+        bench._apply_fold(cfg, res)
+        thr = cfg["args"]["encoder"]["args"].get("fold_above_res")
         print(f"folded levels: res > {thr}", flush=True)
     G = get_model(cfg)
     params = jax.device_put(G.init(jax.random.key(0)))
