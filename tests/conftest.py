@@ -21,6 +21,16 @@ os.environ["XLA_FLAGS"] = _flags.strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache for the CPU test backend: the quick tier is
+# dominated by XLA CPU compiles (1-core box), and the cache is keyed by HLO
+# hash so it can never mask a code change — warm runs skip every compile
+# that survived unchanged.  SHGAN_TEST_NO_COMPILE_CACHE=1 disables (cold
+# timing measurements).
+if os.environ.get("SHGAN_TEST_NO_COMPILE_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SHGAN_TEST_COMPILE_CACHE",
+                                     "/root/.jax_cpu_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 

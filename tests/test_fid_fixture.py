@@ -16,6 +16,7 @@ import pytest
 
 HERE = osp.dirname(osp.abspath(__file__))
 FIXTURE = osp.join(HERE, "fixtures", "inception_golden.npz")
+RANDOM_FIXTURE = osp.join(HERE, "fixtures", "inception_golden_random.npz")
 
 sys.path.insert(0, osp.join(osp.dirname(HERE), "tools"))
 
@@ -25,6 +26,53 @@ def _fixture():
         pytest.skip("no committed detector fixture — emit with "
                     "tools/validate_fid.py --emit-fixture (docs/ASSETS.md)")
     return np.load(FIXTURE)
+
+
+@pytest.mark.quick
+def test_random_fixture_pins_port_parity():
+    """The COMMITTED self-contained fixture (seeded random weights →
+    features recorded from BOTH the torch oracle and the JAX port at emit
+    time): rebuilds the detector from the recorded seed and asserts the
+    current JAX port still reproduces the torch oracle's features through
+    every conv/BN-fold/pool/resize stage, at upsampled (256), native
+    (299) and downsampled (512 — pins antialias=False) inputs, both
+    resize policies.  Runs on every box, no external weights
+    (VERDICT r4 #4).  Contract being pinned:
+    /root/reference/lib/evaluator/eva_fid.py:196-223."""
+    assert osp.isfile(RANDOM_FIXTURE), (
+        "committed fixture missing — regenerate with "
+        "tools/validate_fid.py --cpu --emit-random-fixture and commit")
+    fx = np.load(RANDOM_FIXTURE)
+    assert str(fx["weights_kind"]) == "random"
+    from validate_fid import fixed_batch
+
+    import jax.numpy as jnp
+    from shgan_tpu.eval.inception import (inception_features_and_probs,
+                                          load_inception_params,
+                                          random_inception_state_dict)
+    params = load_inception_params(random_inception_state_dict(
+        int(fx["seed"])))
+    for r in [int(v) for v in np.atleast_1d(fx["res"])]:
+        x = fixed_batch(int(fx["n"]), r)
+        for policy in ("ts", "bilinear"):
+            feat, probs = inception_features_and_probs(
+                params, jnp.asarray(x.astype(np.float32)),
+                resize_policy=policy)
+            feat = np.asarray(feat, np.float64)
+            # drift pin vs the recorded JAX features (exact-ish)
+            np.testing.assert_allclose(
+                feat.astype(np.float32),
+                fx[f"feat_jax_{policy}_{r}"], rtol=0, atol=1e-3)
+            # port parity vs the torch oracle recorded at emit time
+            # (measured 4e-6 at emit; 1e-3 leaves cross-platform headroom
+            # on O(5)-magnitude features)
+            d = np.abs(feat - fx[f"feat_pth_{policy}_{r}"].astype(
+                np.float64))
+            assert d.max() <= 1e-3, (r, policy, d.max())
+            if policy == "ts":
+                np.testing.assert_allclose(
+                    np.asarray(probs, np.float32),
+                    fx[f"probs_jax_{r}"], rtol=0, atol=1e-4)
 
 
 def test_fixture_pins_jax_port():

