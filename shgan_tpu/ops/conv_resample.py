@@ -25,12 +25,68 @@ captured by the ``not flip_weight`` passed from the caller.)
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
 from .upfirdn2d import upfirdn2d, _parse_padding, _get_filter_size
 
 _DN = ("NCHW", "OIHW", "NCHW")
+
+
+def _compose_fir_cfg():
+    """(enabled, ch_max, ext_min) for the FIR-composed resampling route.
+
+    SHGAN_COMPOSE_FIR=1 replaces the split (resampling conv + depthwise
+    FIR blur) with ONE k+f-1 conv whose kernel has the blur taps composed
+    in: 4× nominal conv FLOPs, but the blur's full-feature-map HBM
+    round-trip disappears.  Only sensible where the conv is
+    bandwidth-bound, i.e. low channel counts at large extents — gated by
+    SHGAN_COMPOSE_FIR_CH (max in/out channels, default 64) and
+    SHGAN_COMPOSE_FIR_EXT (min fine-grid extent, default 512).
+    Same trick as the folded domain's fold_weight_up/down_composed
+    (ops/folded.py), probed here in the UNfolded domain.
+    """
+    if os.environ.get("SHGAN_COMPOSE_FIR", "0") != "1":
+        return None
+    return (int(os.environ.get("SHGAN_COMPOSE_FIR_CH", "64")),
+            int(os.environ.get("SHGAN_COMPOSE_FIR_EXT", "512")))
+
+
+def _compose_fir_eligible(x, w, f, groups, fine_ext):
+    cfg = _compose_fir_cfg()
+    if cfg is None or f is None or groups != 1:
+        return False
+    ch_max, ext_min = cfg
+    if getattr(f, "ndim", 0) != 2:   # separable 1D filters stay split
+        return False
+    kh, kw = int(w.shape[2]), int(w.shape[3])
+    if kh <= 1 or kw <= 1:           # 1x1 convs: nothing to fuse with
+        return False
+    if max(int(w.shape[0]), int(w.shape[1])) > ch_max:
+        return False
+    return fine_ext >= ext_min
+
+
+def _fir_compose_kernel(w, f, flip_filter, gain):
+    """Compose the FIR into the conv kernel: the split pipeline is two
+    correlations (lax conv ∘ upfirdn), whose composition is one
+    correlation with ``K = w *_full F_c`` (plain full convolution of the
+    kernels; ``F_c`` is the correlation kernel upfirdn actually applies,
+    i.e. ``flip(f)`` when flip_filter=False).  Expressed as a full-padded
+    lax correlation of ``w`` with ``flip(F_c)``.  ``w`` must already
+    carry the caller's flip_weight handling."""
+    co, ci, kh, kw = (int(s) for s in w.shape)
+    fh, fw = int(f.shape[0]), int(f.shape[1])
+    kern = f if not flip_filter else f[::-1, ::-1]
+    k = lax.conv_general_dilated(
+        w.reshape(co * ci, 1, kh, kw).astype(jnp.float32),
+        (jnp.asarray(kern, jnp.float32) * gain)[None, None],
+        window_strides=(1, 1),
+        padding=[(fh - 1, fh - 1), (fw - 1, fw - 1)],
+        dimension_numbers=_DN)
+    return k.reshape(co, ci, kh + fh - 1, kw + fw - 1)
 
 
 def _maybe_flip(w, flip_weight):
@@ -138,6 +194,15 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
 
     # Fast path: downsample via conv window strides.
     if down > 1 and up == 1:
+        if (_compose_fir_eligible(x, w, f, groups, int(x.shape[2]))
+                and min(px0, px1, py0, py1) >= 0):
+            # one strided conv with the blur taps composed into the
+            # kernel (k -> k+f-1): deletes the blur's HBM round-trip
+            k = _fir_compose_kernel(
+                _maybe_flip(w, flip_weight), f, flip_filter, 1.0)
+            return lax.conv_general_dilated(
+                x, k.astype(x.dtype), window_strides=(down, down),
+                padding=[(py0, py1), (px0, px1)], dimension_numbers=_DN)
         x = upfirdn2d(x, f, padding=[px0, px1, py0, py1],
                       flip_filter=flip_filter)
         return _conv2d(x, w, stride=down, groups=groups,
@@ -153,6 +218,23 @@ def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
         py1 -= kh - up
         pxt = max(min(-px0, -px1), 0)
         pyt = max(min(-py0, -py1), 0)
+        if (down == 1
+                and _compose_fir_eligible(x, w, f, groups,
+                                          int(x.shape[2]) * up)
+                and min(kh - 1 + py0, kh - 1 + py1,
+                        kw - 1 + px0, kw - 1 + px1) >= 0):
+            # one lhs-dilated conv with the blur composed into the kernel
+            # (k -> k+f-1, gain up² folded in); the composed padding is
+            # the dilated conv's (k-1-pt) plus the FIR's (p+pt) = k-1+p
+            # per side.  Alignment verified vs the split path at 1.9e-7
+            # (tools/bench_compose_up.py + tests/test_conv_resample.py).
+            k = _fir_compose_kernel(
+                _maybe_flip(w, flip_weight), f, flip_filter, up ** 2)
+            return lax.conv_general_dilated(
+                x, k.astype(x.dtype), window_strides=(1, 1),
+                padding=[(kh - 1 + py0, kh - 1 + py1),
+                         (kw - 1 + px0, kw - 1 + px1)],
+                lhs_dilation=(up, up), dimension_numbers=_DN)
         # Reference passes flip_weight=(not flip_weight) into its
         # conv_transpose wrapper; composed with torch conv_transpose's
         # inherent spatial flip, the net lax kernel flip rule is again
