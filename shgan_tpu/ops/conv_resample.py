@@ -42,15 +42,21 @@ def _compose_fir_cfg():
     FIR blur) with ONE k+f-1 conv whose kernel has the blur taps composed
     in: 4× nominal conv FLOPs, but the blur's full-feature-map HBM
     round-trip disappears.  Only sensible where the conv is
-    bandwidth-bound, i.e. low channel counts at large extents — gated by
-    SHGAN_COMPOSE_FIR_CH (max in/out channels, default 64) and
-    SHGAN_COMPOSE_FIR_EXT (min fine-grid extent, default 512).
-    Same trick as the folded domain's fold_weight_up/down_composed
-    (ops/folded.py), probed here in the UNfolded domain.
+    bandwidth-bound but the conv itself still fills the MXU — gated by
+    SHGAN_COMPOSE_FIR_CHMIN (min in/out channels, default 64: below it
+    the conv is lane-fill-bound and 4× FLOPs loses — measured 0.93× at
+    64→32ch 512→1024², tools/bench_compose_up.py), SHGAN_COMPOSE_FIR_CH
+    (max channels, default 128: above it the conv is compute-bound) and
+    SHGAN_COMPOSE_FIR_EXT (min fine-grid extent, default 512).  Measured
+    isolated wins at the defaults: up 256→512 128→64ch 1.26×, down
+    512→256 64→128ch 1.21× (v5e bf16).  Same trick as the folded
+    domain's fold_weight_up/down_composed (ops/folded.py), here in the
+    UNfolded domain.
     """
     if os.environ.get("SHGAN_COMPOSE_FIR", "0") != "1":
         return None
-    return (int(os.environ.get("SHGAN_COMPOSE_FIR_CH", "64")),
+    return (int(os.environ.get("SHGAN_COMPOSE_FIR_CHMIN", "64")),
+            int(os.environ.get("SHGAN_COMPOSE_FIR_CH", "128")),
             int(os.environ.get("SHGAN_COMPOSE_FIR_EXT", "512")))
 
 
@@ -58,13 +64,14 @@ def _compose_fir_eligible(x, w, f, groups, fine_ext):
     cfg = _compose_fir_cfg()
     if cfg is None or f is None or groups != 1:
         return False
-    ch_max, ext_min = cfg
+    ch_min, ch_max, ext_min = cfg
     if getattr(f, "ndim", 0) != 2:   # separable 1D filters stay split
         return False
     kh, kw = int(w.shape[2]), int(w.shape[3])
     if kh <= 1 or kw <= 1:           # 1x1 convs: nothing to fuse with
         return False
-    if max(int(w.shape[0]), int(w.shape[1])) > ch_max:
+    co, ci = int(w.shape[0]), int(w.shape[1])
+    if min(co, ci) < ch_min or max(co, ci) > ch_max:
         return False
     return fine_ext >= ext_min
 
