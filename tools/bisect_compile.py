@@ -76,6 +76,40 @@ def build(stage, res, bs, bf16=True):
             return S(sparams, xg, feats, ws, noise_mode="random", rng=k)
         return fn, (sparams, xg, feats, ws, key)
 
+    if stage.startswith("syn_to:"):         # synthesis truncated at res R:
+        # same channel plan, pyramid 4..R only — halves the failing scope
+        R = int(stage.split(":")[1])
+        scfg = dict(cfg["args"]["synthesis"])
+        scfg = {"type": cfg["args"]["synthesis"]["type"],
+                "args": dict(cfg["args"]["synthesis"]["args"],
+                             resolution=R)}
+        from shgan_tpu.models import get_model
+        St = get_model(scfg)
+        sparams = jax.eval_shape(St.init, key)
+        xg, feats = jax.eval_shape(lambda p, x: E(p, x), eparams, x)
+        feats = {r: v for r, v in feats.items() if int(r) <= R}
+        nw = St.num_ws
+        ws = jax.ShapeDtypeStruct((bs, nw, S.w_dim), jnp.float32)
+        def fn(sparams, xg, feats, ws, k):
+            return St(sparams, xg, feats, ws, noise_mode="random", rng=k)
+        return fn, (sparams, xg, feats, ws, key)
+
+    if stage.startswith("synblock:"):       # ONE synthesis block at res R
+        R = int(stage.split(":")[1])
+        blk = S.blocks[R]
+        bparams = jax.eval_shape(blk.init, key)
+        xg, feats = jax.eval_shape(lambda p, x: E(p, x), eparams, x)
+        ic_n = feats[R // 2].shape[1]       # synthesis ch plan == enc skips
+        xin = jax.ShapeDtypeStruct((bs, ic_n, R // 2, R // 2), jnp.float32)
+        img = jax.ShapeDtypeStruct((bs, 3, R // 2, R // 2), jnp.float32)
+        wsb = jax.ShapeDtypeStruct((bs, 3, S.w_dim), jnp.float32)
+        w0 = jax.ShapeDtypeStruct((bs, S.w0_dim), jnp.float32)
+        fR = feats[R]                       # live input, not baked constant
+        def fn(bparams, xin, fR, img, wsb, w0, k):
+            return blk(bparams, xin, fR, img, wsb, w0,
+                       noise_mode="random", rng=k)
+        return fn, (bparams, xin, fR, img, wsb, w0, key)
+
     raise SystemExit(f"unknown stage {stage}")
 
 
