@@ -143,12 +143,20 @@ def _sweep_candidates(res):
     env = os.environ.get("BENCH_BATCHES")
     if env:
         return [int(b) for b in env.split(",") if b.strip()]
+    if res >= 1024:
+        # measured r5 (Pallas noise res-gated to <=512 layers, which
+        # lifted the old bs=16 compile cap): 32 -> 122 img/s beats
+        # 24 (117), 48 (119) and 16 (103-107)
+        return [32, 24]
+    if res == 256:
+        # compile cap is 104 (112/120/128 fail — r5 bisect,
+        # runtime/limits.py), but 96 is the measured throughput winner
+        # (517.9 vs 512.6 img/s at 104: 3x32 tiles beat 104's remainder)
+        return [96, 104]
     scale = (512 / res) ** 2
     # caps (measured on v5e): >128 hits pathological compile times
-    # (bs=256 at 256^2 exceeds 13 min); at 256^2 specifically, 120/128
-    # fail to compile outright while 96 is fine (CLAUDE.md quirk list)
-    cap = 96 if res <= 256 else 128
-    top = min(cap, max(8, int(120 * scale) // 8 * 8))
+    # (bs=256 at 256^2 exceeds 13 min)
+    top = min(128, max(8, int(120 * scale) // 8 * 8))
     return [top, max(8, int(top * 0.8) // 8 * 8)]
 
 

@@ -44,9 +44,23 @@ def _use_pallas():
     return os.environ.get("SHGAN_PALLAS_NOISE") == "1"
 
 
+def _pallas_max_res():
+    """Largest per-layer resolution routed to the Pallas kernel.
+
+    Measured r5 (bisect_r5 ledger record): with the 1024-res noise layer
+    on the Pallas path, the remote TPU compile of the full folded g1024
+    fails opaquely (HTTP 500) for batch >= 18 — batch 16 compiles, and
+    the identical model with threefry noise compiles and runs at batch
+    24/32 (117 img/s vs 103).  Capping the kernel at <= 512-res layers
+    keeps the ~8% Pallas win on every other level while lifting the
+    batch ceiling."""
+    return int(os.environ.get("SHGAN_PALLAS_NOISE_MAX_RES", "512"))
+
+
 def random_noise(rng, batch, resolution, dtype=jnp.float32):
     """N(0,1) noise ``[batch, 1, resolution, resolution]`` from a JAX key."""
-    if _use_pallas() and jax.default_backend() == "tpu" and resolution >= 8:
+    if (_use_pallas() and jax.default_backend() == "tpu"
+            and 8 <= resolution <= _pallas_max_res()):
         return _pallas_normal(rng, batch, resolution).astype(dtype)[:, None]
     return jax.random.normal(rng, (batch, 1, resolution, resolution), dtype)
 

@@ -14,13 +14,16 @@ def test_validate_noop_on_cpu():
 def test_validate_fires_on_tpu(monkeypatch):
     import jax
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    validate_per_chip_batch(256, 96, "test")   # boundary itself is fine
+    validate_per_chip_batch(256, 104, "test")  # boundary itself is fine
     validate_per_chip_batch(512, 120, "test")
-    validate_per_chip_batch(1024, 999, "test")  # no entry → no opinion
-    with pytest.raises(ValueError, match="96"):
+    validate_per_chip_batch(1024, 48, "test")
+    validate_per_chip_batch(2048, 999, "test")  # no entry → no opinion
+    with pytest.raises(ValueError, match="104"):
         validate_per_chip_batch(256, 120, "test")
     with pytest.raises(ValueError, match="ResourceExhausted"):
         validate_per_chip_batch(512, 128, "test")
+    with pytest.raises(ValueError, match="UNFOLDED"):
+        validate_per_chip_batch(1024, 56, "test")
     monkeypatch.setenv("SHGAN_SKIP_BATCH_LIMITS", "1")
     validate_per_chip_batch(256, 128, "test")  # explicit override
 

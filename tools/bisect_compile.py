@@ -28,23 +28,32 @@ import time
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def _cfgs(res, bf16=True):
+def _cfgs(res, bf16=True, fold=False):
     from shgan_tpu.runtime.config import model_cfg_bank
     bank = model_cfg_bank()
     cfg = bank(f"shgan_g{res}")
     if bf16:
         cfg["args"]["encoder"]["args"]["use_fp16_before_res"] = 16
         cfg["args"]["synthesis"]["args"]["use_fp16_after_res"] = 16
+    if fold:
+        # same formula as bench.py _apply_fold (SHGAN_FOLD_CH=32 default)
+        enc = cfg["args"]["encoder"]["args"]
+        syn = cfg["args"]["synthesis"]["args"]
+        fold_ch = int(os.environ.get("SHGAN_FOLD_CH", "32"))
+        thr = max(int(enc.get("ch_base", 16384)) // (2 * fold_ch), 4)
+        if int(enc.get("resolution", 0)) > thr:
+            enc["fold_above_res"] = thr
+            syn["fold_above_res"] = thr
     return cfg
 
 
-def build(stage, res, bs, bf16=True):
+def build(stage, res, bs, bf16=True, fold=False):
     """Return (fn, example_args) for one compile scope."""
     import jax
     import jax.numpy as jnp
     from shgan_tpu.models import get_model
 
-    cfg = _cfgs(res, bf16)
+    cfg = _cfgs(res, bf16, fold)
     G = get_model(cfg)
     key = jax.random.key(0)
 
@@ -55,6 +64,22 @@ def build(stage, res, bs, bf16=True):
         x = jax.ShapeDtypeStruct((bs, 4, res, res), jnp.float32)
         z = jax.ShapeDtypeStruct((bs, G.z_dim), jnp.float32)
         return fn, (params, x, z, key)
+
+    if stage == "bench":                    # exactly bench.py's forward:
+        # composite_forward + whatever noise impl is active (set
+        # SHGAN_PALLAS_NOISE=0/1 to A/B the Pallas noise kernel)
+        if os.environ.get("SHGAN_PALLAS_NOISE") != "0":
+            from shgan_tpu.ops.noise import set_noise_impl
+            set_noise_impl("pallas")
+        from shgan_tpu.models.infer import composite_forward
+        params = jax.eval_shape(G.init, key)
+        def fn(params, real, mask, z, k):
+            return composite_forward(G, params, real, mask, z, k,
+                                     noise_mode="random")
+        real = jax.ShapeDtypeStruct((bs, 3, res, res), jnp.float32)
+        mask = jax.ShapeDtypeStruct((bs, 1, res, res), jnp.float32)
+        z = jax.ShapeDtypeStruct((bs, G.z_dim), jnp.float32)
+        return fn, (params, real, mask, z, key)
 
     E, S, M = G.encoder, G.synthesis, G.mapping
     x = jax.ShapeDtypeStruct((bs, 4, res, res), jnp.float32)
@@ -119,6 +144,9 @@ def main():
     ap.add_argument("--bs", type=int, default=120)
     ap.add_argument("--stage", default="gen")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--fold", action="store_true",
+                    help="apply bench.py's folded-domain config "
+                         "(SHGAN_FOLD=1 equivalent, fold_ch=32)")
     ap.add_argument("--cpu", action="store_true",
                     help="smoke mode: config-level CPU pin (env alone is "
                          "ignored once the axon plugin is importable)")
@@ -128,7 +156,7 @@ def main():
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_comp_cache")
-    fn, args = build(a.stage, a.res, a.bs, bf16=not a.fp32)
+    fn, args = build(a.stage, a.res, a.bs, bf16=not a.fp32, fold=a.fold)
     t0 = time.time()
     try:
         lowered = jax.jit(fn).lower(*args)
