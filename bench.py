@@ -114,12 +114,15 @@ def _apply_fold(cfg_g, res):
     if os.environ.get("SHGAN_FOLD", default) != "1":
         return
     fold_ch = int(os.environ.get("SHGAN_FOLD_CH", "32"))
+    scope = os.environ.get("SHGAN_FOLD_SCOPE", "both")  # both|enc|syn
     enc = cfg_g["args"]["encoder"]["args"]
     syn = cfg_g["args"]["synthesis"]["args"]
     thr = max(int(enc.get("ch_base", 16384)) // (2 * fold_ch), 4)
     if int(enc.get("resolution", 0)) > thr:
-        enc["fold_above_res"] = thr
-        syn["fold_above_res"] = thr
+        if scope in ("both", "enc"):
+            enc["fold_above_res"] = thr
+        if scope in ("both", "syn"):
+            syn["fold_above_res"] = thr
 
 
 def _peak_flops():

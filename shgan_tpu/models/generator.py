@@ -71,5 +71,27 @@ class CoModGANGenerator:
                           truncation_cutoff=truncation_cutoff)
         x_global, feats = self.encoder(params["encoder"], x, rng=rngs[0],
                                        train=train)
+        feats = self._match_fold_layout(feats)
         return self.synthesis(params["synthesis"], x_global, feats, ws,
                               noise_mode=noise_mode, rng=rngs[1])
+
+    def _match_fold_layout(self, feats):
+        """Encoder and synthesis may run the space-to-depth folded domain
+        (ops/folded.py) with DIFFERENT ``fold_above_res`` thresholds — e.g.
+        folding only the MXU-starved encoder side at 512² (the synthesis
+        up-convs pay 4× nominal FLOPs folded, the encoder down-convs ~1×).
+        Re-lay skip features at levels where the two sides disagree."""
+        ef = getattr(self.encoder, "fold_above_res", None)
+        sf = getattr(self.synthesis, "fold_above_res", None)
+        if ef == sf:
+            return feats
+        from ..ops.folded import fold, unfold
+        out = dict(feats)
+        for r, v in feats.items():
+            enc_folded = ef is not None and r > ef
+            syn_folded = sf is not None and r > sf
+            if enc_folded and not syn_folded:
+                out[r] = unfold(v)
+            elif syn_folded and not enc_folded:
+                out[r] = fold(v)
+        return out

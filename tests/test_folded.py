@@ -155,3 +155,31 @@ def test_shgan_encoder_folded_hint_add():
             got = unfold(got)
         np.testing.assert_allclose(np.asarray(got), np.asarray(feats[res]),
                                    rtol=0, atol=2e-4, err_msg=f"res={res}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("enc_f,syn_f", [(64, None), (None, 64), (64, 128)])
+def test_generator_mixed_fold_scopes_exact(enc_f, syn_f):
+    """Encoder and synthesis may fold with DIFFERENT thresholds
+    (SHGAN_FOLD_SCOPE=enc|syn); CoModGANGenerator._match_fold_layout
+    re-lays the skip features at disagreeing levels.  Must reproduce the
+    unfolded forward to float tolerance."""
+    import copy
+    from test_models_parity import _tiny_generator_cfg
+    from shgan_tpu.models import get_model
+
+    cfg = _tiny_generator_cfg()
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["args"]["encoder"]["args"]["fold_above_res"] = enc_f
+    cfg2["args"]["synthesis"]["args"]["fold_above_res"] = syn_f
+    g, gm = get_model(cfg), get_model(cfg2)
+    params = g.init(jax.random.key(0))
+    rng = np.random.RandomState(5)
+    N = 2
+    real = rng.randn(N, 3, 256, 256).astype(np.float32)
+    mask = (rng.rand(N, 1, 256, 256) > 0.4).astype(np.float32)
+    x = jnp.asarray(np.concatenate([mask - 0.5, real * mask], axis=1))
+    z = jnp.asarray(rng.randn(N, 64).astype(np.float32))
+    want = np.asarray(g(params, x, z, noise_mode="const"))
+    got = np.asarray(gm(params, x, z, noise_mode="const"))
+    np.testing.assert_allclose(got, want, rtol=0, atol=3e-4)

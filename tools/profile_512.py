@@ -131,6 +131,8 @@ def main():
                                       + ch_i * ch_j * 9 // 4)
         report(f"enc b{r} ({ch_i}->{ch_j})", timeit(fn, *args), flops)
         del x, args
+        if idx == 0:
+            del img
 
     # epilogue (4²)
     ep = enc.b4
@@ -140,6 +142,7 @@ def main():
     flops = 2 * bs * ((ec + 1) * ec * 9 * 16 + ec * 16 * enc.oc_n
                       + enc.oc_n * enc.oc_n)
     report("enc epilogue b4", timeit(fn, params["encoder"]["b4"], x4), flops)
+    del x4
 
     # ---- SHU -------------------------------------------------------------
     shu = getattr(enc, "shu", None)
@@ -153,6 +156,7 @@ def main():
             for h in shu(p, x).values()))
         report("SHU (all hints)", timeit(fn, params["encoder"]["shu"], xin),
                0)
+        del xin
 
     # ---- mapping ---------------------------------------------------------
     z = dev_randn(jax.random.fold_in(key, 77), (bs, G.z_dim), jnp.float32)
@@ -200,9 +204,14 @@ def main():
         # conv0 up (out r²) + conv1 + torgb + img FIR upsample (bw-only)
         flops = 2 * bs * r * r * (ch_i * ch_j * 9 + ch_j * ch_j * 9
                                   + ch_j * 3)
-        report(f"syn b{r} ({ch_i}->{ch_j})",
-               timeit(fn, params["synthesis"][f"b{r}"], x, x0, img, ws3, w0),
-               flops)
+        try:
+            t = timeit(fn, params["synthesis"][f"b{r}"], x, x0, img, ws3, w0)
+        except Exception as e:  # HBM ResourceExhausted on the top block
+            print(f"  syn b{r} ({ch_i}->{ch_j}): SKIPPED ({type(e).__name__};"
+                  " lower --bs)", flush=True)
+            t = None
+        if t is not None:
+            report(f"syn b{r} ({ch_i}->{ch_j})", t, flops)
         del x, x0, img, ws3
 
     # ---- img-pyramid FIR upsample alone (bandwidth term) ------------------
