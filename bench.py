@@ -107,22 +107,15 @@ def _apply_fold(cfg_g, res):
     32 → only the 32-ch (1024²-scale) levels, where direct XLA runs at
     ~10 TF/s useful and folding measured 1.9-2.6× (tools/bench_folded*);
     64 additionally folds the 64-ch levels — measured NET LOSS on the
-    g512 full model (240 vs 352 img/s, r4): variant-B stride-1 is 2.67×
-    nominal and the composed up/down are 4×, which the ~125-nominal-TF/s
-    folded convs cannot pay back at 64 channels."""
-    default = "1" if res >= 1024 else "0"
-    if os.environ.get("SHGAN_FOLD", default) != "1":
-        return
-    fold_ch = int(os.environ.get("SHGAN_FOLD_CH", "32"))
-    scope = os.environ.get("SHGAN_FOLD_SCOPE", "both")  # both|enc|syn
-    enc = cfg_g["args"]["encoder"]["args"]
-    syn = cfg_g["args"]["synthesis"]["args"]
-    thr = max(int(enc.get("ch_base", 16384)) // (2 * fold_ch), 4)
-    if int(enc.get("resolution", 0)) > thr:
-        if scope in ("both", "enc"):
-            enc["fold_above_res"] = thr
-        if scope in ("both", "syn"):
-            syn["fold_above_res"] = thr
+    g512 full model (240/287/294 img/s vs 352-353 across r4-r5 variants).
+
+    Delegates to the shared production policy
+    (shgan_tpu/runtime/fold_policy.py — the same defaults eval_stage and
+    the serving engine apply); mutates cfg_g in place."""
+    from shgan_tpu.runtime.fold_policy import apply_fold_policy
+    new = apply_fold_policy(cfg_g, default_on=res >= 1024, backend="tpu")
+    if new is not cfg_g:
+        cfg_g["args"] = new["args"]
 
 
 def _peak_flops():

@@ -39,6 +39,8 @@ def build_generator(cfg_model, pretrained_pth=None, strict=True, seed=0,
     ``{G, D, G_ema, augment_pipe}`` container (stylegan_default.py:506-532,
     708-716 — the reference consumes it via copy_params_and_buffers with
     require_all=False, i.e. a non-strict merge)."""
+    from .fold_policy import apply_fold_policy
+    cfg_model = apply_fold_policy(cfg_model)   # TPU >=1024² folded default
     G = get_model(cfg_model)
     params = G.init(jax.random.key(seed))
     if pretrained_pth is not None:
